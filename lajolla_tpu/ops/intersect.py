@@ -1,0 +1,91 @@
+"""Ray-primitive intersection (device side).
+
+Replaces the Embree calls behind intersect()/occluded()
+(src/intersection.cpp:7-85). All functions are written per-ray
+(scalar-style) and vmapped into the wavefront by callers; XLA turns the
+batched version into pure SoA vector code on the VPU.
+
+Conventions (matching Embree's, so downstream shading math carries over):
+hit point = (1-u-v)*v0 + u*v1 + v*v2; triangles tested with
+Moller-Trumbore; spheres with the numerically-stable quadratic
+(src/shapes/sphere.inl:15-38).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lajolla_tpu.core.math import cross, dot
+
+INF = jnp.float32(jnp.inf)
+
+
+def ray_triangle(o, d, p0, e1, e2, tnear, tfar):
+    """Moller-Trumbore. Returns (t, u, v, hit) — scalars (or batched over
+    triangle arrays if p0/e1/e2 carry a leading axis)."""
+    pvec = cross(d, e2)
+    det = dot(e1, pvec)
+    # No backface culling (Embree default). Guard near-zero determinant.
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - p0
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1)
+    v = dot(d, qvec) * inv_det
+    t = dot(e2, qvec) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
+           (u + v <= 1.0) & (t > tnear) & (t < tfar))
+    return t, u, v, hit
+
+
+def ray_sphere(o, d, center, radius, tnear, tfar):
+    """Numerically-stable sphere quadratic; returns (t, hit) for the
+    nearest root in (tnear, tfar)."""
+    oc = o - center
+    a = dot(d, d)
+    b = 2.0 * dot(oc, d)
+    c = dot(oc, oc) - radius * radius
+    disc = b * b - 4.0 * a * c
+    valid = disc >= 0.0
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = -0.5 * jnp.where(b >= 0.0, b + sqrt_disc, b - sqrt_disc)
+    safe = lambda num, den: jnp.where(jnp.abs(den) > 1e-30, num / jnp.where(
+        jnp.abs(den) > 1e-30, den, 1.0), INF)
+    t0 = safe(q, a)
+    t1 = safe(c, q)
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    t = jnp.where((tlo > tnear) & (tlo < tfar), tlo,
+                  jnp.where((thi > tnear) & (thi < tfar), thi, INF))
+    hit = valid & (t < INF)
+    return jnp.where(hit, t, INF), hit
+
+
+# ---------------------------------------------------------------------------
+# Brute-force intersectors (small scenes; also the BVH reference oracle)
+# ---------------------------------------------------------------------------
+
+def brute_force_triangles(scene, o, d, tnear, tfar):
+    """Closest hit over ALL triangles (vectorized over the T axis).
+    Returns (t, prim_id, u, v). prim_id = -1 on miss."""
+    t, u, v, hit = ray_triangle(o[None, :], d[None, :],
+                                scene.tri_p0, scene.tri_e1, scene.tri_e2,
+                                tnear, tfar)
+    t = jnp.where(hit, t, INF)
+    i = jnp.argmin(t)
+    t_best = t[i]
+    miss = t_best == INF
+    return (jnp.where(miss, INF, t_best),
+            jnp.where(miss, -1, i).astype(jnp.int32),
+            u[i], v[i])
+
+
+def brute_force_spheres(scene, o, d, tnear, tfar):
+    """Closest hit over all spheres. Returns (t, sphere_idx)."""
+    t, hit = ray_sphere(o[None, :], d[None, :],
+                        scene.sph_center, scene.sph_radius, tnear, tfar)
+    t = jnp.where(hit, t, INF)
+    i = jnp.argmin(t)
+    t_best = t[i]
+    miss = t_best == INF
+    return jnp.where(miss, INF, t_best), jnp.where(miss, -1, i).astype(jnp.int32)

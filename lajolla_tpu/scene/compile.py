@@ -1,0 +1,372 @@
+"""Scene compiler: host SceneBuilder → flat device arrays (the Scene pytree).
+
+This is the analogue of the reference Scene constructor (scene.cpp:4-52):
+BVH build, per-shape sampling distributions, the power-weighted light pick
+distribution, and scene bounds — except everything lands in SoA device
+arrays instead of Embree state and std::vectors.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lajolla_tpu.core import transform as xf
+from lajolla_tpu.core.distribution import build_cdf_1d, build_segmented_cdf, build_cdf_2d
+from lajolla_tpu.ops.bvh import build_bvh
+from lajolla_tpu.scene import types as T
+from lajolla_tpu.scene.types import Scene, SceneMeta
+
+# Below this many triangles, brute force beats BVH gather overhead on TPU.
+BVH_MIN_TRIS = 192
+
+
+def _f32(x):
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+def _i32(x):
+    return jnp.asarray(np.asarray(x, np.int32))
+
+
+def compile_scene(b):
+    # ------------------------------------------------------------------ geometry
+    verts, norms, uvs, tris, tri_shape = [], [], [], [], []
+    shape_rows = []
+    v_off = 0
+    t_off = 0
+    spheres = []
+    for sid, s in enumerate(b.shapes):
+        if s.type == T.SHAPE_MESH:
+            m = s.mesh
+            nv = m.positions.shape[0]
+            nt = m.indices.shape[0]
+            verts.append(m.positions)
+            has_n = m.normals is not None
+            has_uv = m.uvs is not None
+            norms.append(m.normals if has_n else np.zeros((nv, 3)))
+            uvs.append(m.uvs if has_uv else np.zeros((nv, 2)))
+            tris.append(m.indices + v_off)
+            tri_shape.append(np.full(nt, sid, np.int32))
+            shape_rows.append(dict(type=T.SHAPE_MESH, prim_start=t_off,
+                                   prim_count=nt, has_normals=int(has_n),
+                                   has_uvs=int(has_uv), sid=sid))
+            v_off += nv
+            t_off += nt
+        else:
+            shape_rows.append(dict(type=T.SHAPE_SPHERE,
+                                   prim_start=len(spheres), prim_count=1,
+                                   has_normals=1, has_uvs=1, sid=sid))
+            spheres.append((np.asarray(s.center, np.float64), s.radius))
+
+    if verts:
+        vertices = np.concatenate(verts).astype(np.float64)
+        normals = np.concatenate(norms).astype(np.float64)
+        uv_arr = np.concatenate(uvs).astype(np.float64)
+        indices = np.concatenate(tris).astype(np.int32)
+        tri_shape = np.concatenate(tri_shape).astype(np.int32)
+    else:
+        vertices = np.zeros((1, 3))
+        normals = np.zeros((1, 3))
+        uv_arr = np.zeros((1, 2))
+        indices = np.zeros((1, 3), np.int32)
+        tri_shape = np.full(1, -1, np.int32)
+
+    num_tris = indices.shape[0] if verts else 0
+    p0 = vertices[indices[:, 0]]
+    e1 = vertices[indices[:, 1]] - p0
+    e2 = vertices[indices[:, 2]] - p0
+    tri_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    if not verts:
+        tri_area = np.zeros(1)
+
+    if spheres:
+        sph_center = np.stack([c for c, _ in spheres])
+        sph_radius = np.array([r for _, r in spheres], np.float64)
+        sph_shape = np.array([r['sid'] for r in shape_rows
+                              if r['type'] == T.SHAPE_SPHERE], np.int32)
+    else:
+        sph_center = np.zeros((1, 3))
+        sph_radius = np.zeros(1)
+        sph_shape = np.full(1, -1, np.int32)
+
+    # ------------------------------------------------------------------ shapes
+    ns = max(len(b.shapes), 1)
+    shape_material = np.full(ns, -1, np.int32)
+    shape_light = np.full(ns, -1, np.int32)
+    shape_int_med = np.full(ns, -1, np.int32)
+    shape_ext_med = np.full(ns, -1, np.int32)
+    shape_type = np.zeros(ns, np.int32)
+    shape_prim_start = np.zeros(ns, np.int32)
+    shape_prim_count = np.zeros(ns, np.int32)
+    shape_area = np.zeros(ns)
+    shape_has_n = np.zeros(ns, np.int32)
+    shape_has_uv = np.zeros(ns, np.int32)
+    for row, s in zip(shape_rows, b.shapes):
+        sid = row['sid']
+        shape_material[sid] = s.material_id
+        shape_light[sid] = s.area_light_id
+        shape_int_med[sid] = s.interior_medium_id
+        shape_ext_med[sid] = s.exterior_medium_id
+        shape_type[sid] = row['type']
+        shape_prim_start[sid] = row['prim_start']
+        shape_prim_count[sid] = row['prim_count']
+        shape_has_n[sid] = row['has_normals']
+        shape_has_uv[sid] = row['has_uvs']
+        if row['type'] == T.SHAPE_MESH:
+            shape_area[sid] = tri_area[row['prim_start']:
+                                       row['prim_start'] + row['prim_count']].sum()
+        else:
+            shape_area[sid] = 4.0 * np.pi * b.shapes[sid].radius ** 2
+
+    # per-shape triangle-area staircase CDF (triangle_mesh.inl:48-63)
+    mesh_rows = [r for r in shape_rows if r['type'] == T.SHAPE_MESH]
+    if mesh_rows and num_tris > 0:
+        _, tri_stair = build_segmented_cdf(
+            tri_area,
+            [shape_prim_start[r['sid']] for r in mesh_rows],
+            [shape_prim_count[r['sid']] for r in mesh_rows])
+        # staircase segments must be keyed by SHAPE id for device sampling:
+        # rebuild with shape-id offsets
+        tri_stair = np.zeros(num_tris)
+        for r in mesh_rows:
+            s0, c = shape_prim_start[r['sid']], shape_prim_count[r['sid']]
+            _, cdf = build_cdf_1d(tri_area[s0:s0 + c])
+            tri_stair[s0:s0 + c] = r['sid'] + cdf
+    else:
+        tri_stair = np.zeros(max(num_tris, 1))
+
+    # ------------------------------------------------------------------ bounds
+    pts = [vertices] if verts else []
+    for c, r in spheres:
+        pts.append(c[None, :] - r)
+        pts.append(c[None, :] + r)
+    if pts:
+        allp = np.concatenate(pts)
+        lb, ub = allp.min(0), allp.max(0)
+    else:
+        lb = ub = np.zeros(3)
+    center = 0.5 * (lb + ub)
+    radius = float(np.linalg.norm(ub - center))  # scene.cpp:30-34
+
+    # ------------------------------------------------------------------ BVH
+    use_bvh = num_tris >= BVH_MIN_TRIS
+    if use_bvh:
+        tri_lo = np.minimum(np.minimum(p0, p0 + e1), p0 + e2)
+        tri_hi = np.maximum(np.maximum(p0, p0 + e1), p0 + e2)
+        bvh = build_bvh(tri_lo.astype(np.float32), tri_hi.astype(np.float32))
+    else:
+        bvh = dict(lo=np.zeros((1, 3), np.float32),
+                   hi=np.zeros((1, 3), np.float32),
+                   first=np.zeros(1, np.int32), count=np.zeros(1, np.int32),
+                   skip=np.ones(1, np.int32),
+                   prim=np.arange(max(num_tris, 1), dtype=np.int32),
+                   n_nodes=1)
+
+    # ------------------------------------------------------------------ materials
+    nm = max(len(b.materials), 1)
+    mat_type = np.zeros(nm, np.int32)
+    mat_tex = np.zeros((nm, T.NUM_PARAM_SLOTS), np.int32)
+    mat_eta = np.full(nm, 1.5)
+    for i, m in enumerate(b.materials):
+        mat_type[i] = m.type
+        for slot, td in m.tex.items():
+            mat_tex[i, slot] = td
+        mat_eta[i] = m.eta
+
+    # ------------------------------------------------------------------ textures
+    nt = max(len(b.texdescs), 1)
+    tex_kind = np.zeros(nt, np.int32)
+    tex_const = np.zeros((nt, 3))
+    tex_color1 = np.zeros((nt, 3))
+    tex_image = np.zeros(nt, np.int32)
+    tex_uvscale = np.ones((nt, 2))
+    tex_uvoffset = np.zeros((nt, 2))
+    for i, td in enumerate(b.texdescs):
+        tex_kind[i] = td.kind
+        tex_const[i] = td.const
+        tex_color1[i] = td.color1
+        tex_image[i] = td.image_id
+        tex_uvscale[i] = (td.uscale, td.vscale)
+        tex_uvoffset[i] = (td.uoffset, td.voffset)
+    texdata, mip_offset, mip_w, mip_h, mip_levels = b.texture_pool.pack()
+
+    # ------------------------------------------------------------------ lights
+    nl = max(len(b.lights), 1)
+    light_type = np.zeros(nl, np.int32)
+    light_shape = np.full(nl, -1, np.int32)
+    light_intensity = np.zeros((nl, 3))
+    env_to_world = np.eye(4)
+    env_to_local = np.eye(4)
+    env_scale = 1.0
+    env_h = env_w = 0
+    env_cond_cdf = np.zeros((1, 1))
+    env_marg_cdf = np.ones(1)
+    env_pdf_uv = np.zeros((1, 1))
+    env_total = 0.0
+
+    for i, l in enumerate(b.lights):
+        light_type[i] = l.type
+        light_shape[i] = l.shape_id
+        light_intensity[i] = l.intensity
+        if l.type == T.LIGHT_ENVMAP:
+            env_to_world = np.asarray(l.to_world, np.float64)
+            env_to_local = np.linalg.inv(env_to_world)
+            env_scale = l.scale
+            img = b.texture_pool.pyramids[l.image_id][0]  # level 0
+            h, w = img.shape[:2]
+            env_h, env_w = h, w
+            lum = (img[:, :, 0] * 0.212671 + img[:, :, 1] * 0.715160 +
+                   img[:, :, 2] * 0.072169)
+            sin_elev = np.sin(np.pi * (np.arange(h) + 0.5) / h)
+            f = lum.astype(np.float64) * sin_elev[:, None]
+            d2 = build_cdf_2d(f)
+            env_cond_cdf = d2['cond_cdf']
+            env_marg_cdf = d2['marg_cdf']
+            env_pdf_uv = d2['cond_pmf'] * d2['marg_pmf'][:, None] * w * h
+            env_total = float(f.sum())
+
+    # power-weighted light pick CDF (scene.cpp:46-52)
+    powers = np.zeros(nl)
+    for i, l in enumerate(b.lights):
+        if l.type == T.LIGHT_AREA:
+            lum = (l.intensity[0] * 0.212671 + l.intensity[1] * 0.715160 +
+                   l.intensity[2] * 0.072169)
+            powers[i] = lum * shape_area[l.shape_id] * np.pi
+        else:  # envmap (envmap.inl:1-5)
+            powers[i] = (np.pi * radius * radius * env_total /
+                         max(env_w * env_h, 1))
+    light_pmf, light_cdf = build_cdf_1d(powers) if len(b.lights) else \
+        (np.ones(1), np.ones(1))
+
+    # ------------------------------------------------------------------ media
+    nmed = max(len(b.media), 1)
+    med_type = np.zeros(nmed, np.int32)
+    med_sigma_a = np.zeros((nmed, 3))
+    med_sigma_s = np.zeros((nmed, 3))
+    med_phase = np.zeros(nmed, np.int32)
+    med_g = np.zeros(nmed)
+    med_albedo_vol = np.zeros(nmed, np.int32)
+    med_density_vol = np.zeros(nmed, np.int32)
+    for i, m in enumerate(b.media):
+        med_type[i] = m.type
+        med_sigma_a[i] = m.sigma_a
+        med_sigma_s[i] = m.sigma_s
+        med_phase[i] = m.phase_type
+        med_g[i] = m.g
+        med_albedo_vol[i] = m.albedo_vol
+        med_density_vol[i] = m.density_vol
+
+    nv = max(len(b.volumes), 1)
+    vol_kind = np.zeros(nv, np.int32)
+    vol_const = np.zeros((nv, 3))
+    vol_offset = np.zeros(nv, np.int32)
+    vol_res = np.ones((nv, 3), np.int32)
+    vol_pmin = np.zeros((nv, 3))
+    vol_pmax = np.ones((nv, 3))
+    vol_maxval = np.zeros((nv, 3))
+    vol_scale = np.ones(nv)
+    vchunks = []
+    voff = 0
+    for i, v in enumerate(b.volumes):
+        vol_kind[i] = v.kind
+        vol_const[i] = np.asarray(v.const) * v.scale
+        vol_scale[i] = v.scale
+        if v.kind == T.VOL_GRID:
+            g = v.grid  # (Z,Y,X,3)
+            z, y, x = g.shape[:3]
+            vol_offset[i] = voff
+            vol_res[i] = (x, y, z)
+            vol_pmin[i] = v.pmin
+            vol_pmax[i] = v.pmax
+            vol_maxval[i] = g.reshape(-1, 3).max(0) * v.scale
+            vchunks.append(g.reshape(-1, 3) * v.scale)
+            voff += x * y * z
+        else:
+            vol_maxval[i] = vol_const[i]
+    volume_data = (np.concatenate(vchunks) if vchunks
+                   else np.zeros((1, 3))).astype(np.float32)
+
+    # ------------------------------------------------------------------ camera
+    cam = b.camera
+    aspect = cam.width / cam.height
+    cam_to_sample = (xf.scale([-0.5, -0.5 * aspect, 1.0]) @
+                     xf.translate([-1.0, -1.0 / aspect, 0.0]) @
+                     xf.perspective(cam.fov))  # camera.cpp:16-21
+    sample_to_cam = np.linalg.inv(cam_to_sample)
+    cam_to_world = np.asarray(cam.to_world, np.float64)
+    world_to_cam = np.linalg.inv(cam_to_world)
+
+    # ------------------------------------------------------------------ meta
+    mat_types_present = tuple(sorted(set(int(t) for t in mat_type[:max(len(b.materials), 0)]))) \
+        if b.materials else ()
+    phase_present = tuple(sorted(set(int(p) for p in med_phase[:len(b.media)]))) \
+        if b.media else ()
+    med_present = tuple(sorted(set(int(t) for t in med_type[:len(b.media)]))) \
+        if b.media else ()
+    tex_present = tuple(sorted(set(int(k) for k in tex_kind[:len(b.texdescs)]))) \
+        if b.texdescs else (T.TEX_CONSTANT,)
+
+    meta = SceneMeta(
+        num_shapes=len(b.shapes),
+        num_triangles=num_tris,
+        num_spheres=len(spheres),
+        num_materials=len(b.materials),
+        num_lights=len(b.lights),
+        num_media=len(b.media),
+        num_textures=len(b.texdescs),
+        num_images=len(b.texture_pool.pyramids),
+        mat_types_present=mat_types_present,
+        phase_types_present=phase_present,
+        med_types_present=med_present,
+        has_envmap=b.envmap_light_id >= 0,
+        envmap_light_id=b.envmap_light_id,
+        env_res=(env_h, env_w),
+        width=cam.width,
+        height=cam.height,
+        camera_medium_id=cam.medium_id,
+        scene_radius=radius,
+        use_bvh=use_bvh,
+        bvh_depth=int(bvh['n_nodes']),
+        has_image_textures=any(td.kind == T.TEX_IMAGE for td in b.texdescs),
+        texture_types_present=tex_present,
+    )
+
+    return Scene(
+        vertices=_f32(vertices), normals=_f32(normals), uvs=_f32(uv_arr),
+        indices=_i32(indices), tri_shape=_i32(tri_shape),
+        tri_p0=_f32(p0), tri_e1=_f32(e1), tri_e2=_f32(e2),
+        sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
+        sph_shape=_i32(sph_shape),
+        bvh_lo=_f32(bvh['lo']), bvh_hi=_f32(bvh['hi']),
+        bvh_first=_i32(bvh['first']), bvh_count=_i32(bvh['count']),
+        bvh_skip=_i32(bvh['skip']), bvh_prim=_i32(bvh['prim']),
+        shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),
+        shape_interior_med=_i32(shape_int_med),
+        shape_exterior_med=_i32(shape_ext_med),
+        shape_type=_i32(shape_type), shape_prim_start=_i32(shape_prim_start),
+        shape_prim_count=_i32(shape_prim_count), shape_area=_f32(shape_area),
+        shape_has_normals=_i32(shape_has_n), shape_has_uvs=_i32(shape_has_uv),
+        tri_stair_cdf=_f32(tri_stair), tri_area=_f32(tri_area),
+        mat_type=_i32(mat_type), mat_tex=_i32(mat_tex), mat_eta=_f32(mat_eta),
+        tex_kind=_i32(tex_kind), tex_const=_f32(tex_const),
+        tex_color1=_f32(tex_color1), tex_image=_i32(tex_image),
+        tex_uvscale=_f32(tex_uvscale), tex_uvoffset=_f32(tex_uvoffset),
+        texdata=_f32(texdata), mip_offset=_i32(mip_offset),
+        mip_w=_i32(mip_w), mip_h=_i32(mip_h), mip_levels=_i32(mip_levels),
+        light_type=_i32(light_type), light_shape=_i32(light_shape),
+        light_intensity=_f32(light_intensity), light_cdf=_f32(light_cdf),
+        light_pmf=_f32(light_pmf),
+        env_to_world=_f32(env_to_world), env_to_local=_f32(env_to_local),
+        env_scale=_f32(env_scale), env_cond_cdf=_f32(env_cond_cdf),
+        env_marg_cdf=_f32(env_marg_cdf), env_pdf_uv=_f32(env_pdf_uv),
+        med_type=_i32(med_type), med_sigma_a=_f32(med_sigma_a),
+        med_sigma_s=_f32(med_sigma_s), med_phase_type=_i32(med_phase),
+        med_g=_f32(med_g), med_albedo_vol=_i32(med_albedo_vol),
+        med_density_vol=_i32(med_density_vol),
+        vol_kind=_i32(vol_kind), vol_const=_f32(vol_const),
+        vol_offset=_i32(vol_offset), vol_res=_i32(vol_res),
+        vol_pmin=_f32(vol_pmin), vol_pmax=_f32(vol_pmax),
+        vol_maxval=_f32(vol_maxval), volume_data=_f32(volume_data),
+        cam_to_world=_f32(cam_to_world), world_to_cam=_f32(world_to_cam),
+        sample_to_cam=_f32(sample_to_cam), cam_to_sample=_f32(cam_to_sample),
+        meta=meta,
+    )
