@@ -205,7 +205,8 @@ def compile_scene(b):
 
     for i, l in enumerate(b.lights):
         light_type[i] = l.type
-        light_shape[i] = l.shape_id
+        # envmap rows reuse the shape slot to store their image id
+        light_shape[i] = l.image_id if l.type == T.LIGHT_ENVMAP else l.shape_id
         light_intensity[i] = l.intensity
         if l.type == T.LIGHT_ENVMAP:
             env_to_world = np.asarray(l.to_world, np.float64)

@@ -32,6 +32,7 @@ class Hit(NamedTuple):
     st: jnp.ndarray           # (2,) native param (barycentric / sphere angles)
     mean_curvature: jnp.ndarray
     inv_uv_size: jnp.ndarray  # max(|dpdu|, |dpdv|)
+    footprint: jnp.ndarray    # uv_screen_size = ray_radius / inv_uv_size
     shape_id: jnp.ndarray
     prim_id: jnp.ndarray
     material_id: jnp.ndarray
@@ -46,8 +47,10 @@ def intersect_triangles(scene, o, d, tnear, tfar):
     return brute_force_triangles(scene, o, d, tnear, tfar)
 
 
-def intersect_scene(scene, o, d, tnear, tfar):
-    """Closest hit over triangles + spheres → Hit record."""
+def intersect_scene(scene, o, d, tnear, tfar, ray_radius=0.0, ray_spread=0.0):
+    """Closest hit over triangles + spheres → Hit record. ray_radius/
+    ray_spread are the scalar ray-differential state (ray.h:27-33); the
+    hit's texture footprint is (radius + spread·t) / |dp/duv|."""
     t_tri, prim, bu, bv = intersect_triangles(scene, o, d, tnear, tfar)
     if scene.meta.num_spheres > 0:
         t_sph, sph = brute_force_spheres(scene, o, d, tnear, tfar)
@@ -167,6 +170,8 @@ def intersect_scene(scene, o, d, tnear, tfar):
         st=st,
         mean_curvature=mean_curvature,
         inv_uv_size=inv_uv_size,
+        footprint=(ray_radius + ray_spread * t) / jnp.maximum(inv_uv_size,
+                                                              1e-20),
         shape_id=shape_id,
         prim_id=jnp.where(valid, prim, -1),
         material_id=jnp.where(valid, scene.shape_material_id[shape_c], -1),
