@@ -1,0 +1,56 @@
+"""Multi-chip rendering: sample-axis data parallelism over a device mesh.
+
+The reference's entire distribution story is a work-stealing thread pool
+over 16x16 film tiles (src/parallel.cpp, render.cpp:75-99). The TPU-native
+equivalent (SURVEY §2.7): ONE SPMD program — `shard_map` over a
+`jax.sharding.Mesh`, sharding the *sample* axis (each chip renders the
+full image with a disjoint slice of the per-pixel sample indices,
+decorrelated by RNG key folding), scene arrays replicated (read-only),
+film reduced with a single `psum` over ICI. Multi-host = the same program
+over a bigger mesh; no new code path.
+
+Pixel-axis sharding would equally work; sample-axis keeps every chip's
+control flow identical (no tile shape remainders) and needs zero scene
+re-layout.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from lajolla_tpu.scene.types import RenderOptions
+
+
+def default_mesh(devices=None):
+    devices = devices if devices is not None else jax.devices()
+    import numpy as np
+    return Mesh(np.asarray(devices), ('samples',))
+
+
+@partial(jax.jit, static_argnames=('options', 'mesh', 'spp_per_chip'))
+def _render_sharded_jit(scene, options, seed, mesh, spp_per_chip):
+    from lajolla_tpu.integrators.path import _render_block
+
+    def per_chip(scene):
+        chip = jax.lax.axis_index('samples')
+        s0 = chip.astype(jnp.int32) * spp_per_chip
+        img = _render_block(scene, options, seed, s0, spp_per_chip)
+        return jax.lax.psum(img, 'samples')
+
+    fn = jax.shard_map(per_chip, mesh=mesh,
+                       in_specs=(P(),), out_specs=P(),
+                       check_vma=False)
+    return fn(scene)
+
+
+def render_path_sharded(scene, options, seed=0, mesh=None):
+    """Distributed path render. spp is split evenly across the mesh
+    (rounded up)."""
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    spp_per_chip = -(-options.samples_per_pixel // n)
+    total = spp_per_chip * n
+    img = _render_sharded_jit(scene, options, seed, mesh, spp_per_chip)
+    return img / total

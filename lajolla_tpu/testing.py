@@ -1,0 +1,73 @@
+"""Programmatic scene construction helpers (testing + benchmarks) — the
+analogue of the reference in-memory
+Scene fixture in tests/intersection.cpp:9-27)."""
+
+import numpy as np
+
+from lajolla_tpu.scene import types as T
+from lajolla_tpu.scene.compile import compile_scene
+from lajolla_tpu.scene.parser import (CameraB, LightB, MaterialB, MeshB,
+                                      SceneBuilder, ShapeB, TexDesc)
+from lajolla_tpu.scene.texture import TexturePool
+from lajolla_tpu.scene.types import RenderOptions
+
+
+MATERIAL_XML_TYPES = {
+    'diffuse': T.MAT_LAMBERTIAN,
+    'roughplastic': T.MAT_ROUGH_PLASTIC,
+    'roughdielectric': T.MAT_ROUGH_DIELECTRIC,
+    'disneydiffuse': T.MAT_DISNEY_DIFFUSE,
+    'disneymetal': T.MAT_DISNEY_METAL,
+    'disneyglass': T.MAT_DISNEY_GLASS,
+    'disneyclearcoat': T.MAT_DISNEY_CLEARCOAT,
+    'disneysheen': T.MAT_DISNEY_SHEEN,
+    'disneybsdf': T.MAT_DISNEY_BSDF,
+}
+
+
+def quad_mesh(z=0.0, half=1.0):
+    return MeshB(
+        positions=np.array([[-half, -half, z], [half, -half, z],
+                            [half, half, z], [-half, half, z]], np.float64),
+        indices=np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        normals=np.array([[0, 0, 1]] * 4, np.float64),
+        uvs=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64))
+
+
+def make_single_material_scene(mat_xml_type, params=None, eta=1.5):
+    """One quad with the given material, a white area light quad above,
+    camera looking down."""
+    from lajolla_tpu.core import transform as xf
+    b = SceneBuilder(camera=CameraB(to_world=xf.look_at(
+        [0, 0, 3], [0, 0, 0], [0, 1, 0]), fov=45.0, width=32, height=32),
+        options=RenderOptions(), texture_pool=TexturePool())
+
+    m = MaterialB(type=MATERIAL_XML_TYPES[mat_xml_type], eta=eta)
+    params = dict(params or {})
+
+    def const_tex(v):
+        v = np.broadcast_to(np.asarray(v, np.float64), (3,))
+        b.texdescs.append(TexDesc(kind=T.TEX_CONSTANT, const=tuple(v)))
+        return len(b.texdescs) - 1
+
+    defaults = {
+        T.P_BASE_COLOR: (0.5, 0.5, 0.5), T.P_AUX_COLOR: (1.0, 1.0, 1.0),
+        T.P_ROUGHNESS: 0.25, T.P_SUBSURFACE: 0.0, T.P_METALLIC: 0.0,
+        T.P_SPECULAR: 0.5, T.P_SPECULAR_TINT: 0.0, T.P_ANISOTROPIC: 0.0,
+        T.P_SHEEN: 0.0, T.P_SHEEN_TINT: 0.5, T.P_CLEARCOAT: 0.0,
+        T.P_CLEARCOAT_GLOSS: 1.0, T.P_SPEC_TRANS: 0.0,
+    }
+    defaults.update(params)
+    for slot, v in defaults.items():
+        m.tex[slot] = const_tex(v)
+    b.materials.append(m)
+
+    b.shapes.append(ShapeB(type=T.SHAPE_MESH, mesh=quad_mesh(0.0),
+                           material_id=0))
+    # area light
+    light_mesh = quad_mesh(2.0)
+    b.shapes.append(ShapeB(type=T.SHAPE_MESH, mesh=light_mesh,
+                           material_id=0, area_light_id=0))
+    b.lights.append(LightB(type=T.LIGHT_AREA, shape_id=1,
+                           intensity=(5.0, 5.0, 5.0)))
+    return compile_scene(b)

@@ -1,0 +1,83 @@
+"""Intersection tests (reference analogue: tests/intersection.cpp) plus
+BVH-vs-brute-force equivalence on random meshes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lajolla_tpu.ops.bvh import build_bvh, bvh_traverse, bvh_occluded
+from lajolla_tpu.ops.intersect import ray_triangle, ray_sphere
+
+
+def test_single_triangle():
+    # the reference's fixture: triangle {(-1,-1,-2),(1,-1,-2),(0,1,-2)},
+    # ray from origin towards -z (tests/intersection.cpp:9-40)
+    p0 = jnp.array([-1.0, -1.0, -2.0])
+    e1 = jnp.array([1.0, -1.0, -2.0]) - p0
+    e2 = jnp.array([0.0, 1.0, -2.0]) - p0
+    o = jnp.zeros(3)
+    d = jnp.array([0.0, 0.0, -1.0])
+    t, u, v, hit = ray_triangle(o, d, p0, e1, e2, 0.0, jnp.inf)
+    assert bool(hit)
+    pos = o + t * d
+    assert np.allclose(pos, [0, 0, -2], atol=1e-6)
+
+
+def test_sphere_roots():
+    o = jnp.array([0.0, 0.0, -5.0])
+    d = jnp.array([0.0, 0.0, 1.0])
+    t, hit = ray_sphere(o, d, jnp.zeros(3), jnp.float32(1.0), 0.0, jnp.inf)
+    assert bool(hit) and np.isclose(float(t), 4.0, atol=1e-5)
+    # from inside: far root
+    t2, hit2 = ray_sphere(jnp.zeros(3), d, jnp.zeros(3), jnp.float32(1.0),
+                          0.0, jnp.inf)
+    assert bool(hit2) and np.isclose(float(t2), 1.0, atol=1e-5)
+
+
+class FakeScene:
+    """Minimal duck-typed scene for the traversal functions."""
+    def __init__(self, tri):
+        self.tri_p0 = jnp.asarray(tri[:, 0], jnp.float32)
+        self.tri_e1 = jnp.asarray(tri[:, 1] - tri[:, 0], jnp.float32)
+        self.tri_e2 = jnp.asarray(tri[:, 2] - tri[:, 0], jnp.float32)
+        lo = np.minimum(np.minimum(tri[:, 0], tri[:, 1]), tri[:, 2])
+        hi = np.maximum(np.maximum(tri[:, 0], tri[:, 1]), tri[:, 2])
+        b = build_bvh(lo.astype(np.float32), hi.astype(np.float32))
+        self.bvh_lo = jnp.asarray(b['lo'])
+        self.bvh_hi = jnp.asarray(b['hi'])
+        self.bvh_first = jnp.asarray(b['first'])
+        self.bvh_count = jnp.asarray(b['count'])
+        self.bvh_skip = jnp.asarray(b['skip'])
+        self.bvh_prim = jnp.asarray(b['prim'])
+
+
+def _brute(scene, o, d):
+    t, u, v, hit = ray_triangle(o[None], d[None], scene.tri_p0,
+                                scene.tri_e1, scene.tri_e2, 0.0, jnp.inf)
+    t = jnp.where(hit, t, jnp.inf)
+    i = jnp.argmin(t)
+    return jnp.where(t[i] == jnp.inf, jnp.inf, t[i])
+
+
+def test_bvh_matches_brute_force():
+    rng = np.random.default_rng(7)
+    # random triangle soup
+    centers = rng.uniform(-1, 1, size=(500, 1, 3))
+    tri = centers + rng.normal(scale=0.08, size=(500, 3, 3))
+    scene = FakeScene(tri.astype(np.float32))
+
+    o = rng.uniform(-2, 2, size=(512, 3)).astype(np.float32)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    t_b = jax.vmap(lambda o, d: _brute(scene, o, d))(o, d)
+    t_v, prim, _, _ = jax.vmap(
+        lambda o, d: bvh_traverse(scene, o, d, 0.0, jnp.inf))(o, d)
+
+    # identical hit distances (same primitive tests, same arithmetic)
+    np.testing.assert_allclose(np.asarray(t_v), np.asarray(t_b),
+                               rtol=1e-5, atol=1e-5)
+
+    occ = jax.vmap(lambda o, d: bvh_occluded(scene, o, d, 0.0, jnp.inf))(o, d)
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.isfinite(np.asarray(t_b)))
