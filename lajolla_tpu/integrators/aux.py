@@ -26,7 +26,7 @@ def _pixel(scene, options, px, py, mode):
     org, d = sample_primary(scene, options, px.astype(jnp.float32),
                             py.astype(jnp.float32),
                             jnp.array([0.5, 0.5]))  # box offset 0 at center
-    hit = intersect_scene(scene, org, d, 0.0, jnp.inf)
+    hit = intersect_scene(scene, org, d, 0.0, jnp.inf, need_aux=True)
     dist = length(hit.position - org)
     w, h = scene.meta.width, scene.meta.height
     spread = init_ray_diff_spread(w, h)

@@ -14,8 +14,10 @@ from lajolla_tpu.core.distribution import sample_cdf, sample_segmented, sample_c
 from lajolla_tpu.core.math import (cross, dot, distance_squared, make_frame,
                                    normalize, to_world)
 from lajolla_tpu.core.transform import xform_vector
+from lajolla_tpu.scene.soa import fetch_light, fetch_shape, fetch_tri
 from lajolla_tpu.scene.texeval import lookup_trilinear, image_mip_level
 from lajolla_tpu.scene.types import LIGHT_ENVMAP, SHAPE_SPHERE
+from lajolla_tpu.ops.gather import fast_gather
 
 PI = 3.141592653589793
 TWO_PI = 6.283185307179586
@@ -35,15 +37,13 @@ def sample_light(scene, u):
 
 
 def light_pmf(scene, light_id):
-    return scene.light_pmf[jnp.maximum(light_id, 0)]
+    return fast_gather(scene.light_pmf, jnp.maximum(light_id, 0))
 
 
 def _sample_point_on_mesh(scene, shape_id, uv, w):
-    tri = sample_segmented(scene.tri_stair_cdf, shape_id, w)
-    idx = scene.indices[tri]
-    v0 = scene.vertices[idx[0]]
-    e1 = scene.vertices[idx[1]] - v0
-    e2 = scene.vertices[idx[2]] - v0
+    tri_id = sample_segmented(scene.tri_stair_cdf, shape_id, w)
+    tri = fetch_tri(scene, tri_id)
+    v0, e1, e2 = tri.p0, tri.e1, tri.e2
     a = jnp.sqrt(jnp.clip(uv[0], 0.0, 1.0))
     b1 = 1.0 - a
     b2 = a * uv[1]
@@ -113,13 +113,14 @@ def _envmap_uv_from_dir(scene, world_dir):
 def sample_point_on_light(scene, light_id, ref_point, uv, w):
     """light.h:47-56. For envmap the returned normal stores -world_dir."""
     light_id = jnp.maximum(light_id, 0)
-    shape_id = scene.light_shape[light_id]
-    shape_c = jnp.maximum(shape_id, 0)
+    light = fetch_light(scene, light_id)
+    shape_c = jnp.maximum(light.shape_id, 0)
+    shape = fetch_shape(scene, shape_c)
 
     # area light on mesh or sphere
-    is_sphere = scene.shape_type[shape_c] == SHAPE_SPHERE
+    is_sphere = shape.type == SHAPE_SPHERE
     if scene.meta.num_spheres > 0:
-        sph_idx = jnp.maximum(scene.shape_prim_start[shape_c], 0)
+        sph_idx = jnp.maximum(shape.prim_start, 0)
         p_sph = _sample_point_on_sphere(scene, shape_c, ref_point, uv, sph_idx)
     mesh_valid = scene.meta.num_triangles > 0
     if mesh_valid:
@@ -150,7 +151,7 @@ def sample_point_on_light(scene, light_id, ref_point, uv, w):
     world_dir = xform_vector(scene.env_to_world, local_dir)
     p_env = LightPoint(position=jnp.zeros(3), normal=-world_dir)
 
-    is_env = scene.light_type[light_id] == LIGHT_ENVMAP
+    is_env = light.type == LIGHT_ENVMAP
     return LightPoint(position=jnp.where(is_env, p_env.position,
                                          p_area.position),
                       normal=jnp.where(is_env, p_env.normal, p_area.normal))
@@ -160,13 +161,14 @@ def pdf_point_on_light(scene, light_id, point, ref_point):
     """light.h:59-63: area measure for area lights, solid-angle pdf with
     the envmap Jacobian 1/(2π² sinθ) for envmaps (envmap.inl:22-42)."""
     light_id = jnp.maximum(light_id, 0)
-    shape_id = scene.light_shape[light_id]
-    shape_c = jnp.maximum(shape_id, 0)
+    light = fetch_light(scene, light_id)
+    shape_c = jnp.maximum(light.shape_id, 0)
+    shape = fetch_shape(scene, shape_c)
 
-    is_sphere = scene.shape_type[shape_c] == SHAPE_SPHERE
-    pdf_mesh = 1.0 / jnp.maximum(scene.shape_area[shape_c], 1e-20)
+    is_sphere = shape.type == SHAPE_SPHERE
+    pdf_mesh = 1.0 / jnp.maximum(shape.area, 1e-20)
     if scene.meta.num_spheres > 0:
-        sph_idx = jnp.maximum(scene.shape_prim_start[shape_c], 0)
+        sph_idx = jnp.maximum(shape.prim_start, 0)
         pdf_sph = _pdf_point_on_sphere(scene, sph_idx, point, ref_point)
         pdf_area = jnp.where(is_sphere, pdf_sph, pdf_mesh)
     else:
@@ -186,14 +188,14 @@ def pdf_point_on_light(scene, light_id, point, ref_point):
     pdf_env = jnp.where(sin_el <= 0, 0.0,
                         pdf_uv / jnp.maximum(2.0 * PI * PI * sin_el, 1e-20))
 
-    is_env = scene.light_type[light_id] == LIGHT_ENVMAP
+    is_env = light.type == LIGHT_ENVMAP
     return jnp.where(is_env, pdf_env, pdf_area)
 
 
 def emission_area(scene, light_id, point_normal, view_dir):
     """DiffuseAreaLight one-sided emission (diffuse_area_light.inl:15-20)."""
     light_id = jnp.maximum(light_id, 0)
-    intensity = scene.light_intensity[light_id]
+    intensity = fetch_light(scene, light_id).intensity
     return jnp.where(dot(point_normal, view_dir) <= 0,
                      jnp.zeros(3), intensity)
 

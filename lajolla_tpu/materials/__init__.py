@@ -62,10 +62,12 @@ def _dispatch(scene, mat_id, method, args):
     mat_id_c = jnp.maximum(mat_id, 0)
     if len(present) == 1:
         return getattr(mods[present[0]], method)(scene, mat_id_c, *args)
+    from lajolla_tpu.ops.gather import fast_gather
     table = np.zeros(T.NUM_MAT_TYPES, np.int32)
     for i, t in enumerate(present):
         table[t] = i
-    branch = jnp.asarray(table)[scene.mat_type[mat_id_c]]
+    mat_type = fast_gather(scene.mat_tab, mat_id_c)[0].astype(jnp.int32)
+    branch = jnp.asarray(table)[mat_type]
     return jax.lax.switch(
         branch,
         [(lambda m: (lambda *a: getattr(m, method)(*a)))(mods[t])

@@ -7,6 +7,7 @@ helpers (materials/disney_metal.inl:3-50) into branch-free jnp.
 import jax.numpy as jnp
 
 from lajolla_tpu.core.math import dot, normalize, to_world
+from lajolla_tpu.scene.soa import fetch_mat
 from lajolla_tpu.scene.texeval import eval_texture
 
 PI = 3.141592653589793
@@ -15,7 +16,7 @@ TWO_PI = 6.283185307179586
 
 def tex3(scene, mat_id, slot, hit):
     """Evaluate a spectrum parameter slot at the hit."""
-    return eval_texture(scene, scene.mat_tex[mat_id, slot], hit.uv,
+    return eval_texture(scene, fetch_mat(scene, mat_id).tex[slot], hit.uv,
                         hit.footprint)
 
 

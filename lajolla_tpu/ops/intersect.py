@@ -65,7 +65,7 @@ def ray_sphere(o, d, center, radius, tnear, tfar):
 # Brute-force intersectors (small scenes; also the BVH reference oracle)
 # ---------------------------------------------------------------------------
 
-def brute_force_triangles(scene, o, d, tnear, tfar):
+def _brute_force_scalar(scene, o, d, tnear, tfar):
     """Closest hit over ALL triangles (vectorized over the T axis).
     Returns (t, prim_id, u, v). prim_id = -1 on miss."""
     t, u, v, hit = ray_triangle(o[None, :], d[None, :],
@@ -78,6 +78,93 @@ def brute_force_triangles(scene, o, d, tnear, tfar):
     return (jnp.where(miss, INF, t_best),
             jnp.where(miss, -1, i).astype(jnp.int32),
             u[i], v[i])
+
+
+def _brute_force_batched(scene, o, d, tnear, tfar):
+    """MXU formulation: Woop unit-triangle transforms turn the ray set-up
+    into two (N,3)x(3,3T) matmuls, then cheap elementwise resolve.
+    o, d: (N,3); tnear/tfar: (N,) or scalar. Exact fp32 (HIGHEST)."""
+    T = scene.tri_p0.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    op = jnp.dot(o, scene.tri_woop_A, precision=hp) + scene.tri_woop_b
+    dp = jnp.dot(d, scene.tri_woop_A, precision=hp)
+    ox, oy, oz = op[:, :T], op[:, T:2 * T], op[:, 2 * T:]
+    dx, dy, dz = dp[:, :T], dp[:, T:2 * T], dp[:, 2 * T:]
+    safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+    t = -oz / safe_dz
+    u = ox + t * dx
+    v = oy + t * dy
+    if jnp.ndim(tnear) == 1:
+        tnear = tnear[:, None]
+    if jnp.ndim(tfar) == 1:
+        tfar = tfar[:, None]
+    hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
+           (u + v <= 1.0) & (t > tnear) & (t < tfar))
+    t = jnp.where(hit, t, INF)
+    i = jnp.argmin(t, axis=1)
+    rows = jnp.arange(o.shape[0])
+    t_best = t[rows, i]
+    miss = t_best == INF
+    return (jnp.where(miss, INF, t_best),
+            jnp.where(miss, -1, i).astype(jnp.int32),
+            u[rows, i], v[rows, i])
+
+
+@jax.custom_batching.custom_vmap
+def brute_force_triangles(scene, o, d, tnear, tfar):
+    return _brute_force_scalar(scene, o, d, tnear, tfar)
+
+
+def _on_tpu():
+    import jax.extend.backend
+    return jax.default_backend() == 'tpu'
+
+
+def _bcast_ray_args(axis_size, in_batched, o, d, tnear, tfar):
+    _, o_b, d_b, tn_b, tf_b = in_batched
+    if not o_b:
+        o = jnp.broadcast_to(o, (axis_size, 3))
+    if not d_b:
+        d = jnp.broadcast_to(d, (axis_size, 3))
+    if not tn_b:
+        tnear = jnp.broadcast_to(jnp.asarray(tnear, jnp.float32),
+                                 (axis_size,))
+    if not tf_b:
+        tfar = jnp.broadcast_to(jnp.asarray(tfar, jnp.float32),
+                                (axis_size,))
+    return o, d, tnear, tfar
+
+
+@brute_force_triangles.def_vmap
+def _brute_force_vmap_rule(axis_size, in_batched, scene, o, d, tnear, tfar):
+    o, d, tnear, tfar = _bcast_ray_args(axis_size, in_batched, o, d,
+                                        tnear, tfar)
+    if _on_tpu():
+        from lajolla_tpu.ops.intersect_pallas import intersect_brute_pallas
+        out = intersect_brute_pallas(scene, o, d, tnear, tfar)
+    else:
+        out = _brute_force_batched(scene, o, d, tnear, tfar)
+    return out, (True, True, True, True)
+
+
+@jax.custom_batching.custom_vmap
+def occluded_brute(scene, o, d, tnear, tfar):
+    """Any-hit over all triangles (scalar form)."""
+    t, prim, _, _ = _brute_force_scalar(scene, o, d, tnear, tfar)
+    return prim >= 0
+
+
+@occluded_brute.def_vmap
+def _occluded_vmap_rule(axis_size, in_batched, scene, o, d, tnear, tfar):
+    o, d, tnear, tfar = _bcast_ray_args(axis_size, in_batched, o, d,
+                                        tnear, tfar)
+    if _on_tpu():
+        from lajolla_tpu.ops.intersect_pallas import occluded_brute_pallas
+        out = occluded_brute_pallas(scene, o, d, tnear, tfar)
+    else:
+        t, prim, _, _ = _brute_force_batched(scene, o, d, tnear, tfar)
+        out = prim >= 0
+    return out, True
 
 
 def brute_force_spheres(scene, o, d, tnear, tfar):

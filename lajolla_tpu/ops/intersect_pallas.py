@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: fused brute-force ray-triangle intersection.
+
+The Woop-transform formulation (see ops/intersect.py) is two K=3
+contractions plus an elementwise resolve; done in plain XLA the (N, 3T)
+intermediates round-trip through HBM (~1 GB per bounce at N=262k). This
+kernel blocks the ray axis, keeps everything in VMEM, and writes only the
+per-ray result — HBM traffic drops to the rays in + hits out.
+
+Layout: rays live in the MINOR (lane) dimension — all per-triangle
+intermediates are (T, B) with B=512 lanes, so every VPU op runs at full
+width; the triangle axis maps to sublanes. The K=3 contraction is done
+as three broadcasted FMAs (exact fp32, no MXU rounding).
+
+Used for small scenes (T up to a few hundred; larger scenes take the BVH
+path). The whole triangle set lives in VMEM per block.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INF = float('inf')
+BLOCK_B = 512
+
+
+def _kernel(o_ref, d_ref, tnf_ref, Ax_ref, Ay_ref, Az_ref,
+            t_ref, prim_ref, u_ref, v_ref, *, T: int, want_uv: bool):
+    # o/d: (3, B); tnf: (2, B); A{x,y,z}: (T, 4) rows [a0 a1 a2 bias]
+    o = o_ref[:]
+    d = d_ref[:]
+    tnear = tnf_ref[0:1, :]   # (1, B)
+    tfar = tnf_ref[1:2, :]
+
+    def contract(A, vec, with_bias):
+        # (T,1)x(1,B) broadcasts: out (T, B)
+        r = (A[:, 0:1] * vec[0:1, :] + A[:, 1:2] * vec[1:2, :] +
+             A[:, 2:3] * vec[2:3, :])
+        if with_bias:
+            r = r + A[:, 3:4]
+        return r
+
+    Ax, Ay, Az = Ax_ref[:], Ay_ref[:], Az_ref[:]
+    oz = contract(Az, o, True)
+    dz = contract(Az, d, False)
+    safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+    t = -oz / safe_dz
+    ox = contract(Ax, o, True)
+    dx = contract(Ax, d, False)
+    u = ox + t * dx
+    oy = contract(Ay, o, True)
+    dy = contract(Ay, d, False)
+    v = oy + t * dy
+    hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
+           (u + v <= 1.0) & (t > tnear) & (t < tfar))
+    t = jnp.where(hit, t, INF)
+    t_best = jnp.min(t, axis=0)                    # (B,)
+    miss = t_best == INF
+    t_ref[0, :] = jnp.where(miss, INF, t_best)
+    if want_uv:
+        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        i = jnp.argmin(t, axis=0)
+        sel = iota == i[None, :]
+        prim_ref[0, :] = jnp.where(miss, -1, i).astype(jnp.int32)
+        u_ref[0, :] = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+        v_ref[0, :] = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
+    else:
+        prim_ref[0, :] = jnp.where(miss, -1, 0).astype(jnp.int32)
+        u_ref[0, :] = jnp.zeros_like(t_best)
+        v_ref[0, :] = jnp.zeros_like(t_best)
+
+
+def _call(scene, o, d, tnear, tfar, want_uv):
+    N = o.shape[0]
+    T = scene.tri_p0.shape[0]
+    pad = (-N) % BLOCK_B
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tnear = jnp.pad(tnear, (0, pad))
+        tfar = jnp.pad(tfar, (0, pad))
+    Np = N + pad
+    o3 = o.T
+    d3 = d.T
+    tnf = jnp.stack([tnear, tfar], axis=0)
+    # per-axis (T, 4) transform rows [a0 a1 a2 bias]
+    A = scene.tri_woop_A          # (3, 3T)
+    b = scene.tri_woop_b          # (3T,)
+    Ax = jnp.concatenate([A[:, :T].T, b[:T, None]], axis=1)
+    Ay = jnp.concatenate([A[:, T:2 * T].T, b[T:2 * T, None]], axis=1)
+    Az = jnp.concatenate([A[:, 2 * T:].T, b[2 * T:, None]], axis=1)
+
+    grid = (Np // BLOCK_B,)
+    kern = functools.partial(_kernel, T=T, want_uv=want_uv)
+    full = lambda i: (0, 0)
+    blk = lambda i: (0, i)
+    t, prim, u, v = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((3, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_B), blk, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.int32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        ],
+    )(o3, d3, tnf, Ax, Ay, Az)
+    return (t[0, :N], prim[0, :N], u[0, :N], v[0, :N])
+
+
+def intersect_brute_pallas(scene, o, d, tnear, tfar):
+    """o, d: (N,3); tnear/tfar: (N,). Returns (t, prim, u, v) each (N,)."""
+    return _call(scene, o, d, tnear, tfar, want_uv=True)
+
+
+def occluded_brute_pallas(scene, o, d, tnear, tfar):
+    """Any-hit variant: returns bool (N,)."""
+    t, _, _, _ = _call(scene, o, d, tnear, tfar, want_uv=False)
+    return t < INF

@@ -134,6 +134,31 @@ def compile_scene(b):
     else:
         tri_stair = np.zeros(max(num_tris, 1))
 
+    # ------------------------------------------------ Woop transforms (MXU)
+    # Per-triangle affine map into unit-triangle space: x' = W x + b with
+    # W = [e1 e2 n]^-1, b = -W p0. Ray-triangle intersection then becomes
+    # two (N,3)x(3,3T) matmuls — MXU work instead of VPU gathers. Used by
+    # the brute-force intersector for small scenes.
+    nt_ = max(num_tris, 1)
+    woop_A = np.zeros((3, 3 * nt_), np.float32)
+    woop_b = np.zeros(3 * nt_, np.float32)
+    if num_tris > 0:
+        n_vec = np.cross(e1, e2)
+        M = np.stack([e1, e2, n_vec], axis=-1)  # (T,3,3) columns e1,e2,n
+        dets = np.linalg.det(M)
+        ok = np.abs(dets) > 1e-18
+        Minv = np.zeros_like(M)
+        Minv[ok] = np.linalg.inv(M[ok])
+        b_vec = -np.einsum('tij,tj->ti', Minv, p0)
+        # layout: columns grouped by output row: [x-rows | y-rows | z-rows]
+        woop_A = np.concatenate([Minv[:, 0, :].T, Minv[:, 1, :].T,
+                                 Minv[:, 2, :].T], axis=1).astype(np.float32)
+        woop_b = np.concatenate([b_vec[:, 0], b_vec[:, 1],
+                                 b_vec[:, 2]]).astype(np.float32)
+        # degenerate triangles: zero transform → d'_z = 0 → no hit
+        woop_A[:, np.tile(~ok, 3)] = 0.0
+        woop_b[np.tile(~ok, 3)] = 0.0
+
     # ------------------------------------------------------------------ bounds
     pts = [vertices] if verts else []
     for c, r in spheres:
@@ -286,6 +311,53 @@ def compile_scene(b):
     volume_data = (np.concatenate(vchunks) if vchunks
                    else np.zeros((1, 3))).astype(np.float32)
 
+    # --------------------------------------------------- merged wide-row tables
+    # (scene/soa.py): one row fetch per record instead of many narrow
+    # gathers — the wavefront hot-loop access pattern.
+    nt_pad = max(num_tris, 1)
+    tri_shade = np.zeros((nt_pad, 25), np.float32)
+    if num_tris > 0:
+        tri_shade[:, 0:3] = p0
+        tri_shade[:, 3:6] = e1
+        tri_shade[:, 6:9] = e2
+        tri_shade[:, 9:12] = normals[indices[:, 0]]
+        tri_shade[:, 12:15] = normals[indices[:, 1]]
+        tri_shade[:, 15:18] = normals[indices[:, 2]]
+        tri_shade[:, 18:20] = uv_arr[indices[:, 0]]
+        tri_shade[:, 20:22] = uv_arr[indices[:, 1]]
+        tri_shade[:, 22:24] = uv_arr[indices[:, 2]]
+        tri_shade[:, 24] = tri_shape
+
+    shape_tab = np.zeros((ns, 9), np.float32)
+    shape_tab[:, 0] = shape_material
+    shape_tab[:, 1] = shape_light
+    shape_tab[:, 2] = shape_int_med
+    shape_tab[:, 3] = shape_ext_med
+    shape_tab[:, 4] = shape_type
+    shape_tab[:, 5] = shape_prim_start
+    shape_tab[:, 6] = shape_has_n
+    shape_tab[:, 7] = shape_has_uv
+    shape_tab[:, 8] = shape_area
+
+    light_tab = np.zeros((nl, 6), np.float32)
+    light_tab[:, 0] = light_type
+    light_tab[:, 1] = light_shape
+    light_tab[:, 2:5] = light_intensity
+    light_tab[:, 5] = light_pmf
+
+    mat_tab = np.zeros((nm, 15), np.float32)
+    mat_tab[:, 0] = mat_type
+    mat_tab[:, 1] = mat_eta
+    mat_tab[:, 2:15] = mat_tex
+
+    tex_tab = np.zeros((nt, 12), np.float32)
+    tex_tab[:, 0] = tex_kind
+    tex_tab[:, 1] = tex_image
+    tex_tab[:, 2:5] = tex_const
+    tex_tab[:, 5:8] = tex_color1
+    tex_tab[:, 8:10] = tex_uvscale
+    tex_tab[:, 10:12] = tex_uvoffset
+
     # ------------------------------------------------------------------ camera
     cam = b.camera
     aspect = cam.width / cam.height
@@ -329,12 +401,18 @@ def compile_scene(b):
         bvh_depth=int(bvh['n_nodes']),
         has_image_textures=any(td.kind == T.TEX_IMAGE for td in b.texdescs),
         texture_types_present=tex_present,
+        needs_uv=any(td.kind != T.TEX_CONSTANT for td in b.texdescs),
+        needs_ray_diff=any(td.kind == T.TEX_IMAGE for td in b.texdescs),
+        needs_tangent=any(m.type in (T.MAT_DISNEY_METAL, T.MAT_DISNEY_GLASS,
+                                     T.MAT_DISNEY_BSDF)
+                          for m in b.materials),
     )
 
     return Scene(
         vertices=_f32(vertices), normals=_f32(normals), uvs=_f32(uv_arr),
         indices=_i32(indices), tri_shape=_i32(tri_shape),
         tri_p0=_f32(p0), tri_e1=_f32(e1), tri_e2=_f32(e2),
+        tri_woop_A=_f32(woop_A), tri_woop_b=_f32(woop_b),
         sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
         sph_shape=_i32(sph_shape),
         bvh_lo=_f32(bvh['lo']), bvh_hi=_f32(bvh['hi']),
@@ -367,6 +445,9 @@ def compile_scene(b):
         vol_offset=_i32(vol_offset), vol_res=_i32(vol_res),
         vol_pmin=_f32(vol_pmin), vol_pmax=_f32(vol_pmax),
         vol_maxval=_f32(vol_maxval), volume_data=_f32(volume_data),
+        tri_shade=_f32(tri_shade), shape_tab=_f32(shape_tab),
+        light_tab=_f32(light_tab), mat_tab=_f32(mat_tab),
+        tex_tab=_f32(tex_tab),
         cam_to_world=_f32(cam_to_world), world_to_cam=_f32(world_to_cam),
         sample_to_cam=_f32(sample_to_cam), cam_to_sample=_f32(cam_to_sample),
         meta=meta,

@@ -8,6 +8,7 @@ single flattened texdata array. Per-ray scalar style; callers vmap.
 
 import jax.numpy as jnp
 
+from lajolla_tpu.scene.soa import fetch_tex
 from lajolla_tpu.scene.types import TEX_CONSTANT, TEX_IMAGE, TEX_CHECKERBOARD, MAX_MIP_LEVELS
 
 
@@ -57,25 +58,20 @@ def image_mip_level(scene, img_id, uvscale, footprint):
 def eval_texture(scene, tex_id, uv, footprint):
     """Evaluate texture descriptor tex_id at uv → (3,) RGB. Scalar params
     read channel 0. footprint ≈ du/dx for mip selection."""
-    tex_id = jnp.maximum(tex_id, 0)
-    kind = scene.tex_kind[tex_id]
-    const = scene.tex_const[tex_id]
-    out = const
-
-    uvscale = scene.tex_uvscale[tex_id]
-    uvoffset = scene.tex_uvoffset[tex_id]
-    local_uv = jnp.mod(uv * uvscale + uvoffset, 1.0)
+    tex = fetch_tex(scene, tex_id)
+    kind = tex.kind
+    out = tex.const
+    local_uv = jnp.mod(uv * tex.uvscale + tex.uvoffset, 1.0)
 
     if TEX_CHECKERBOARD in scene.meta.texture_types_present:
-        color1 = scene.tex_color1[tex_id]
         xi = 2 * jnp.mod((local_uv[0] * 2).astype(jnp.int32), 2) - 1
         yi = 2 * jnp.mod((local_uv[1] * 2).astype(jnp.int32), 2) - 1
-        checker = jnp.where(xi * yi == 1, const, color1)
+        checker = jnp.where(xi * yi == 1, tex.const, tex.color1)
         out = jnp.where(kind == TEX_CHECKERBOARD, checker, out)
 
     if scene.meta.has_image_textures:
-        img_id = scene.tex_image[tex_id]
-        level = image_mip_level(scene, img_id, uvscale, footprint)
+        img_id = tex.image_id
+        level = image_mip_level(scene, img_id, tex.uvscale, footprint)
         img_val = lookup_trilinear(scene, img_id, local_uv[0], local_uv[1],
                                    level)
         out = jnp.where(kind == TEX_IMAGE, img_val, out)

@@ -114,6 +114,9 @@ class SceneMeta:
     bvh_depth: int                    # max traversal iterations bound
     has_image_textures: bool
     texture_types_present: Tuple[int, ...]
+    needs_uv: bool = True        # any non-constant texture present
+    needs_ray_diff: bool = True  # image textures anywhere (mip selection)
+    needs_tangent: bool = True   # anisotropy-capable materials present
 
 
 @dataclass(frozen=True)
@@ -142,6 +145,8 @@ class Scene:
     tri_p0: Any          # (T,3) f32 precomputed for Moller-Trumbore
     tri_e1: Any          # (T,3) f32 v1 - v0
     tri_e2: Any          # (T,3) f32 v2 - v0
+    tri_woop_A: Any      # (3, 3T) f32 Woop unit-triangle transforms (MXU path)
+    tri_woop_b: Any      # (3T,) f32
     sph_center: Any      # (S,3) f32
     sph_radius: Any      # (S,) f32
     sph_shape: Any       # (S,) i32
@@ -215,6 +220,13 @@ class Scene:
     vol_pmax: Any        # (NV,3) f32
     vol_maxval: Any      # (NV,3) f32  (max grid value × scale)
     volume_data: Any     # (TOTALV,3) f32
+
+    # --- merged wide-row tables (see scene/soa.py) ----------------------------
+    tri_shade: Any       # (T, 25) f32 denormalized per-triangle shading record
+    shape_tab: Any       # (NS, 9) f32
+    light_tab: Any       # (L, 6) f32
+    mat_tab: Any         # (M, 15) f32
+    tex_tab: Any         # (NT, 12) f32
 
     # --- camera ---------------------------------------------------------------
     cam_to_world: Any    # (4,4) f32
