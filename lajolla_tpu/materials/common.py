@@ -41,13 +41,15 @@ def schlick_fresnel_scalar(f0, cos_theta):
 
 
 def fresnel_dielectric(n_dot_i, eta):
-    """Exact dielectric Fresnel given |cos| of incident angle and relative
-    IOR eta = n_t/n_i (microfacet.h:34-56). Handles TIR (returns 1)."""
+    """Exact dielectric Fresnel; cos of incident angle may be negative
+    (microfacet.h:42-56 takes |n_dot_i| into the rs/rp form). Relative IOR
+    eta = n_t/n_i. Returns 1 on total internal reflection."""
     n_dot_t_sq = 1.0 - (1.0 - n_dot_i * n_dot_i) / (eta * eta)
     tir = n_dot_t_sq < 0.0
     n_dot_t = jnp.sqrt(jnp.maximum(n_dot_t_sq, 0.0))
-    rs = (n_dot_i - eta * n_dot_t) / (n_dot_i + eta * n_dot_t)
-    rp = (eta * n_dot_i - n_dot_t) / (eta * n_dot_i + n_dot_t)
+    c = jnp.abs(n_dot_i)
+    rs = (c - eta * n_dot_t) / (c + eta * n_dot_t)
+    rp = (eta * c - n_dot_t) / (eta * c + n_dot_t)
     F = (rs * rs + rp * rp) / 2.0
     return jnp.where(tir, 1.0, F)
 

@@ -45,10 +45,83 @@ def _morton3(x, y, z):
     return spread(x) | (spread(y) << np.uint64(1)) | (spread(z) << np.uint64(2))
 
 
+_LIBBVH = None
+
+
+def _load_libbvh():
+    """ctypes handle to the native binned-SAH builder (csrc/libbvh.so),
+    building it on first use if a toolchain is available."""
+    global _LIBBVH
+    if _LIBBVH is not None:
+        return _LIBBVH or None
+    import ctypes
+    import os
+    import subprocess
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    so = os.path.join(here, 'csrc', 'libbvh.so')
+    if not os.path.exists(so):
+        try:
+            subprocess.run(['make', '-C', os.path.join(here, 'csrc')],
+                           capture_output=True, timeout=120)
+        except Exception:
+            pass
+    try:
+        lib = ctypes.CDLL(so)
+        f = lib.bvh_build_sah
+        f.restype = ctypes.c_int32
+        f.argtypes = [ctypes.POINTER(ctypes.c_float),
+                      ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+                      ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                      ctypes.POINTER(ctypes.c_float),
+                      ctypes.POINTER(ctypes.c_float),
+                      ctypes.POINTER(ctypes.c_int32),
+                      ctypes.POINTER(ctypes.c_int32),
+                      ctypes.POINTER(ctypes.c_int32)]
+        _LIBBVH = lib
+        return lib
+    except OSError:
+        _LIBBVH = False
+        return None
+
+
+def _build_bvh_sah(tri_lo, tri_hi, leaf_size):
+    """Native binned-SAH build → threaded layout (csrc/bvh_builder.cpp)."""
+    import ctypes
+    lib = _load_libbvh()
+    if lib is None:
+        return None
+    T = tri_lo.shape[0]
+    cap = 2 * T
+    lo = np.ascontiguousarray(tri_lo, np.float32)
+    hi = np.ascontiguousarray(tri_hi, np.float32)
+    prim = np.zeros(T, np.int32)
+    out_lo = np.zeros((cap, 3), np.float32)
+    out_hi = np.zeros((cap, 3), np.float32)
+    out_first = np.zeros(cap, np.int32)
+    out_count = np.zeros(cap, np.int32)
+    out_skip = np.zeros(cap, np.int32)
+    fptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    n = lib.bvh_build_sah(fptr(lo), fptr(hi), T, leaf_size, iptr(prim),
+                          fptr(out_lo), fptr(out_hi), iptr(out_first),
+                          iptr(out_count), iptr(out_skip))
+    return dict(lo=out_lo[:n], hi=out_hi[:n], first=out_first[:n],
+                count=out_count[:n], skip=out_skip[:n], prim=prim,
+                n_nodes=int(n))
+
+
 def build_bvh(tri_lo, tri_hi, leaf_size=LEAF_SIZE):
     """Returns dict of numpy arrays: lo (N,3), hi (N,3), first (N,),
-    count (N,), skip (N,), prim (T,) — the preorder threaded layout."""
+    count (N,), skip (N,), prim (T,) — the preorder threaded layout.
+    Prefers the native SAH builder; falls back to the Morton median-split
+    builder below."""
     T = tri_lo.shape[0]
+    if T > 0:
+        sah = _build_bvh_sah(np.asarray(tri_lo, np.float32),
+                             np.asarray(tri_hi, np.float32), leaf_size)
+        if sah is not None:
+            return sah
     if T == 0:
         return dict(lo=np.zeros((1, 3), np.float32),
                     hi=np.zeros((1, 3), np.float32),
@@ -152,8 +225,14 @@ def _safe_inv(d):
 
 
 def bvh_traverse(scene, o, d, tnear, tfar):
-    """Closest-hit traversal. Returns (t, prim_id, u, v); prim_id=-1 miss."""
-    n_nodes = scene.bvh_lo.shape[0]
+    """Closest-hit traversal. Returns (t, prim_id, u, v); prim_id=-1 miss.
+
+    One wide-row gather per node visit (bvh_node) and per tested leaf
+    triangle (bvh_leaf_tri, stored in leaf order so a leaf's triangles
+    are consecutive rows) — the access pattern that survives vmapping to
+    a 262k-lane wavefront."""
+    n_nodes = scene.bvh_node.shape[0]
+    max_slot = scene.bvh_leaf_tri.shape[0] - 1
     inv_d = _safe_inv(d)
 
     def cond(st):
@@ -161,29 +240,29 @@ def bvh_traverse(scene, o, d, tnear, tfar):
 
     def body(st):
         node, t_best, best_prim, best_u, best_v = st
-        lo = scene.bvh_lo[node]
-        hi = scene.bvh_hi[node]
+        row = scene.bvh_node[node]
+        lo, hi = row[0:3], row[3:6]
+        first = row[6].astype(jnp.int32)
+        count = row[7].astype(jnp.int32)
+        skip = row[8].astype(jnp.int32)
         t0 = (lo - o) * inv_d
         t1 = (hi - o) * inv_d
         tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1)), tnear)
         tmax = jnp.minimum(jnp.min(jnp.maximum(t0, t1)), t_best)
         hit_box = tmin <= tmax
-        first = scene.bvh_first[node]
-        count = scene.bvh_count[node]
         is_leaf = count > 0
         test = hit_box & is_leaf
         for k in range(LEAF_SIZE):
-            slot = jnp.minimum(first + k, scene.bvh_prim.shape[0] - 1)
-            idx = scene.bvh_prim[slot]
-            t, u, v, h = ray_triangle(o, d, scene.tri_p0[idx],
-                                      scene.tri_e1[idx], scene.tri_e2[idx],
+            slot = jnp.minimum(first + k, max_slot)
+            trow = scene.bvh_leaf_tri[slot]
+            t, u, v, h = ray_triangle(o, d, trow[0:3], trow[3:6], trow[6:9],
                                       tnear, t_best)
             h = h & test & (k < count)
             t_best = jnp.where(h, t, t_best)
-            best_prim = jnp.where(h, idx, best_prim)
+            best_prim = jnp.where(h, trow[9].astype(jnp.int32), best_prim)
             best_u = jnp.where(h, u, best_u)
             best_v = jnp.where(h, v, best_v)
-        nxt = jnp.where(hit_box & ~is_leaf, first, scene.bvh_skip[node])
+        nxt = jnp.where(hit_box & ~is_leaf, first, skip)
         return (nxt, t_best, best_prim, best_u, best_v)
 
     init = (jnp.int32(0), jnp.minimum(tfar, INF), jnp.int32(-1),
@@ -195,7 +274,8 @@ def bvh_traverse(scene, o, d, tnear, tfar):
 
 def bvh_occluded(scene, o, d, tnear, tfar):
     """Any-hit traversal with early exit. Returns bool."""
-    n_nodes = scene.bvh_lo.shape[0]
+    n_nodes = scene.bvh_node.shape[0]
+    max_slot = scene.bvh_leaf_tri.shape[0] - 1
     inv_d = _safe_inv(d)
 
     def cond(st):
@@ -204,25 +284,25 @@ def bvh_occluded(scene, o, d, tnear, tfar):
 
     def body(st):
         node, found = st
-        lo = scene.bvh_lo[node]
-        hi = scene.bvh_hi[node]
+        row = scene.bvh_node[node]
+        lo, hi = row[0:3], row[3:6]
+        first = row[6].astype(jnp.int32)
+        count = row[7].astype(jnp.int32)
+        skip = row[8].astype(jnp.int32)
         t0 = (lo - o) * inv_d
         t1 = (hi - o) * inv_d
         tmin = jnp.maximum(jnp.max(jnp.minimum(t0, t1)), tnear)
         tmax = jnp.minimum(jnp.min(jnp.maximum(t0, t1)), tfar)
         hit_box = tmin <= tmax
-        first = scene.bvh_first[node]
-        count = scene.bvh_count[node]
         is_leaf = count > 0
         test = hit_box & is_leaf
         for k in range(LEAF_SIZE):
-            slot = jnp.minimum(first + k, scene.bvh_prim.shape[0] - 1)
-            idx = scene.bvh_prim[slot]
-            _, _, _, h = ray_triangle(o, d, scene.tri_p0[idx],
-                                      scene.tri_e1[idx], scene.tri_e2[idx],
+            slot = jnp.minimum(first + k, max_slot)
+            trow = scene.bvh_leaf_tri[slot]
+            _, _, _, h = ray_triangle(o, d, trow[0:3], trow[3:6], trow[6:9],
                                       tnear, tfar)
             found = found | (h & test & (k < count))
-        nxt = jnp.where(hit_box & ~is_leaf, first, scene.bvh_skip[node])
+        nxt = jnp.where(hit_box & ~is_leaf, first, skip)
         return (nxt, found)
 
     _, found = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.bool_(False)))

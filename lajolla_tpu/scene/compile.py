@@ -186,6 +186,23 @@ def compile_scene(b):
                    prim=np.arange(max(num_tris, 1), dtype=np.int32),
                    n_nodes=1)
 
+    # merged BVH tables: ONE wide gather per node visit / leaf triangle
+    nb = bvh['lo'].shape[0]
+    bvh_node = np.zeros((nb, 9), np.float32)
+    bvh_node[:, 0:3] = bvh['lo']
+    bvh_node[:, 3:6] = bvh['hi']
+    bvh_node[:, 6] = bvh['first']
+    bvh_node[:, 7] = bvh['count']
+    bvh_node[:, 8] = bvh['skip']
+    perm = bvh['prim']
+    ntl = max(len(perm), 1)
+    bvh_leaf_tri = np.zeros((ntl, 10), np.float32)
+    if num_tris > 0 and len(perm) > 0:
+        bvh_leaf_tri[:, 0:3] = p0[perm]
+        bvh_leaf_tri[:, 3:6] = e1[perm]
+        bvh_leaf_tri[:, 6:9] = e2[perm]
+        bvh_leaf_tri[:, 9] = perm
+
     # ------------------------------------------------------------------ materials
     nm = max(len(b.materials), 1)
     mat_type = np.zeros(nm, np.int32)
@@ -418,6 +435,7 @@ def compile_scene(b):
         bvh_lo=_f32(bvh['lo']), bvh_hi=_f32(bvh['hi']),
         bvh_first=_i32(bvh['first']), bvh_count=_i32(bvh['count']),
         bvh_skip=_i32(bvh['skip']), bvh_prim=_i32(bvh['prim']),
+        bvh_node=_f32(bvh_node), bvh_leaf_tri=_f32(bvh_leaf_tri),
         shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),
         shape_interior_med=_i32(shape_int_med),
         shape_exterior_med=_i32(shape_ext_med),

@@ -158,6 +158,8 @@ class Scene:
     bvh_count: Any       # (N,) i32: 0 inner, >0 = leaf prim count
     bvh_skip: Any        # (N,) i32 miss-link (next node if AABB missed / leaf done)
     bvh_prim: Any        # (T,) i32 permutation leaf-slot → triangle index
+    bvh_node: Any        # (N, 9) f32 merged [lo(3) hi(3) first count skip]
+    bvh_leaf_tri: Any    # (T, 10) f32 leaf-order [p0 e1 e2 prim] (Moller data)
 
     # --- shape table -------------------------------------------------------
     shape_material_id: Any    # (NS,) i32

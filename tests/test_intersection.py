@@ -43,12 +43,21 @@ class FakeScene:
         lo = np.minimum(np.minimum(tri[:, 0], tri[:, 1]), tri[:, 2])
         hi = np.maximum(np.maximum(tri[:, 0], tri[:, 1]), tri[:, 2])
         b = build_bvh(lo.astype(np.float32), hi.astype(np.float32))
-        self.bvh_lo = jnp.asarray(b['lo'])
-        self.bvh_hi = jnp.asarray(b['hi'])
-        self.bvh_first = jnp.asarray(b['first'])
-        self.bvh_count = jnp.asarray(b['count'])
-        self.bvh_skip = jnp.asarray(b['skip'])
         self.bvh_prim = jnp.asarray(b['prim'])
+        node = np.zeros((b['lo'].shape[0], 9), np.float32)
+        node[:, 0:3] = b['lo']
+        node[:, 3:6] = b['hi']
+        node[:, 6] = b['first']
+        node[:, 7] = b['count']
+        node[:, 8] = b['skip']
+        self.bvh_node = jnp.asarray(node)
+        perm = b['prim']
+        leaf = np.zeros((len(perm), 10), np.float32)
+        leaf[:, 0:3] = np.asarray(self.tri_p0)[perm]
+        leaf[:, 3:6] = np.asarray(self.tri_e1)[perm]
+        leaf[:, 6:9] = np.asarray(self.tri_e2)[perm]
+        leaf[:, 9] = perm
+        self.bvh_leaf_tri = jnp.asarray(leaf)
 
 
 def _brute(scene, o, d):
