@@ -1,0 +1,499 @@
+"""Volumetric path tracer (null-scattering / delta tracking with MIS).
+
+Faithful re-derivation of the reference's final volumetric integrator
+(vol_path_tracing.h:503-869) and its NEE helper (:299-495), plus the
+pedagogical versions 1 and 2 (:6-147); versions 3-5 delegate to the
+final integrator exactly like the fork does (:880,:1052,:1297).
+
+Wavefront structure: per-path scalar function with the triply-nested
+stochastic loops — bounces × null-collisions × shadow-ray segments —
+expressed as nested `lax.while_loop`s (each bounded: null collisions by
+options.max_null_collisions, shadow segments by max_depth), vmapped over
+a pixel megabatch. Lockstep masking across lanes is handled by JAX's
+while_loop batching rule.
+
+Deliberately replicated fork quirks (for output parity):
+  * escaping into vacuum discards ALL accumulated radiance
+    (vol_path_tracing.h:634-641 returns zero);
+  * the surface-bounce branch does not refresh dir_pdf /
+    multi_trans_pdf for the next emissive-hit MIS (:785-848).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from lajolla_tpu.core.math import (distance, distance_squared, dot,
+                                   normalize)
+from lajolla_tpu.dtypes import intersection_eps, shadow_eps
+from lajolla_tpu.integrators.lights import (LightPoint, emission_area,
+                                            light_pmf, pdf_point_on_light,
+                                            sample_light,
+                                            sample_point_on_light)
+from lajolla_tpu.integrators.media import (get_majorant, get_sigma_a,
+                                           get_sigma_s, phase_eval,
+                                           phase_pdf, phase_sample,
+                                           update_medium)
+from lajolla_tpu.materials import eval_bsdf, pdf_bsdf, sample_bsdf
+from lajolla_tpu.scene.camera import sample_primary
+from lajolla_tpu.scene.geometry import intersect_scene
+
+INF = jnp.float32(jnp.inf)
+MAX_BOUNCES_CAP = 64
+MAX_SHADOW_SEGMENTS = 16  # index-matching interfaces along one shadow ray
+
+
+def _avg(s):
+    return jnp.mean(s)
+
+
+def _uniforms(key, n):
+    key, sub = jax.random.split(key)
+    return key, jax.random.uniform(sub, (n,))
+
+
+# ---------------------------------------------------------------------------
+# Free-flight (null-scattering) sampling through a medium segment
+# (vol_path_tracing.h:554-629 main form; :355-410 NEE form)
+# ---------------------------------------------------------------------------
+
+def _free_flight(scene, options, key, org, d, med_id, t_hit,
+                 with_scatter):
+    """Delta-tracking along [0, t_hit). Returns
+    (key, transmittance, trans_dir_pdf, trans_nee_pdf, scatter, accum_t).
+    with_scatter=False gives the ratio-tracking NEE variant (no real/null
+    decision; transmittance picks up sigma_n)."""
+    majorant = get_majorant(scene, med_id, org, d, t_hit)
+    key, u = _uniforms(key, 1)
+    channel = jnp.clip((u[0] * 3).astype(jnp.int32), 0, 2)
+    maj_ch = majorant[channel]
+    max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
+
+    def cond(st):
+        (key, accum_t, it, trans, tdp, tnp, scatter, done) = st
+        return ~done & (maj_ch > 0) & (it < options.max_null_collisions)
+
+    def body(st):
+        (key, accum_t, it, trans, tdp, tnp, scatter, done) = st
+        key, u = _uniforms(key, 2)
+        t = -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) / jnp.maximum(maj_ch,
+                                                                   1e-20)
+        dt = t_hit - accum_t
+        accum_t = jnp.minimum(accum_t + t, t_hit)
+        in_flight = t < dt
+
+        p = org + d * accum_t
+        sigma_s = get_sigma_s(scene, med_id, p)
+        sigma_a = get_sigma_a(scene, med_id, p)
+        sigma_t = sigma_s + sigma_a
+        sigma_n = majorant * (1.0 - sigma_t / jnp.maximum(majorant, 1e-20))
+        real_prob = sigma_t / jnp.maximum(majorant, 1e-20)
+        att = jnp.exp(-majorant * t)
+        att_dt = jnp.exp(-majorant * dt)
+
+        if with_scatter:
+            is_real = u[1] < real_prob[channel]
+            trans_n = jnp.where(
+                in_flight,
+                jnp.where(is_real, trans * att / max_maj,
+                          trans * att * sigma_n / max_maj),
+                trans * att_dt)
+            tdp_n = jnp.where(
+                in_flight,
+                jnp.where(is_real,
+                          tdp * att * majorant * real_prob / max_maj,
+                          tdp * att * majorant * (1.0 - real_prob) /
+                          max_maj),
+                tdp * att_dt)
+            tnp_n = jnp.where(
+                in_flight,
+                jnp.where(is_real, tnp,
+                          tnp * att * majorant / max_maj),
+                tnp * att_dt)
+            scatter_n = scatter | (in_flight & is_real)
+            done_n = done | ~in_flight | (in_flight & is_real)
+        else:
+            # NEE ratio tracking (:384-404): no real/null decision
+            trans_n = jnp.where(in_flight,
+                                trans * att * sigma_n / max_maj,
+                                trans * att_dt)
+            tnp_n = jnp.where(in_flight,
+                              tnp * att * majorant / max_maj,
+                              tnp * att_dt)
+            tdp_n = jnp.where(in_flight,
+                              tdp * att * majorant * (1.0 - real_prob) /
+                              max_maj,
+                              tdp * att_dt)
+            scatter_n = scatter
+            done_n = done | ~in_flight | (jnp.max(trans_n) <= 0)
+
+        return (key, accum_t, it + 1, trans_n, tdp_n, tnp_n, scatter_n,
+                done_n)
+
+    ones = jnp.ones(3)
+    init = (key, jnp.float32(0.0), jnp.int32(0), ones, ones, ones,
+            jnp.bool_(False), jnp.bool_(False))
+    (key, accum_t, _it, trans, tdp, tnp, scatter, _done) = \
+        jax.lax.while_loop(cond, body, init)
+    return key, trans, tdp, tnp, scatter, accum_t
+
+
+# ---------------------------------------------------------------------------
+# Volumetric NEE (vol_path_tracing.h:299-495)
+# ---------------------------------------------------------------------------
+
+def _vol_nee(scene, options, key, p, med_id, bounces, dir_view, is_surface,
+             hit):
+    eps_shadow = shadow_eps(scene.meta.scene_radius)
+    key, u = _uniforms(key, 4)
+    light_id = sample_light(scene, u[2])
+    lp = sample_point_on_light(scene, light_id, p, u[0:2], u[3])
+    dir_light = normalize(lp.position - p)
+    p_prime = lp.position
+    p_origin = p
+
+    ones = jnp.ones(3)
+
+    def seg_cond(st):
+        (key, p, med, sb, Tl, pn, pd, done, blocked) = st
+        return ~done & ~blocked & (sb < MAX_SHADOW_SEGMENTS)
+
+    def seg_body(st):
+        (key, p, med, sb, Tl, pn, pd, done, blocked) = st
+        tmax = (1.0 - eps_shadow) * distance(p, p_prime)
+        shadow_hit = intersect_scene(scene, p, dir_light, eps_shadow, tmax)
+        next_t = jnp.where(shadow_hit.valid,
+                           distance(p, shadow_hit.position),
+                           distance(p, p_prime))
+        if scene.meta.num_media > 0:
+            has_med = med >= 0
+            key, trans, tdp, tnp, _sc, _at = _free_flight(
+                scene, options, key, p, dir_light, med, next_t,
+                with_scatter=False)
+            Tl = jnp.where(has_med, Tl * trans, Tl)
+            pn = jnp.where(has_med, pn * tnp, pn)
+            pd = jnp.where(has_med, pd * tdp, pd)
+
+        opaque = shadow_hit.valid & (shadow_hit.material_id >= 0)
+        depth_block = shadow_hit.valid & (options.max_depth != -1) & \
+            (bounces + sb + 1 >= options.max_depth)
+        blocked = blocked | opaque | depth_block
+        done = done | ~shadow_hit.valid
+        med = jnp.where(shadow_hit.valid & ~blocked,
+                        update_medium(shadow_hit, dir_light, med), med)
+        p = jnp.where(shadow_hit.valid & ~blocked,
+                      p + next_t * dir_light, p)
+        return (key, p, med, sb + 1, Tl, pn, pd, done, blocked)
+
+    init = (key, p, med_id, jnp.int32(0), ones, ones, ones,
+            jnp.bool_(False), jnp.bool_(False))
+    (key, _p, _med, _sb, Tl, p_nee, p_dir_t, done, blocked) = \
+        jax.lax.while_loop(seg_cond, seg_body, init)
+
+    ok = ~blocked & (jnp.max(Tl) > 0)
+
+    Le = emission_area(scene, light_id, lp.normal, -dir_light)
+    jac = jnp.maximum(-dot(dir_light, lp.normal), 0.0) / \
+        jnp.maximum(distance_squared(p_origin, p_prime), 1e-20)
+    pdf_nee = light_pmf(scene, light_id) * \
+        pdf_point_on_light(scene, light_id, lp, p_origin) * p_nee
+
+    if is_surface:
+        mat_id = hit.material_id
+        f = eval_bsdf(scene, mat_id, dir_view, dir_light, hit)
+        pdf_b = pdf_bsdf(scene, mat_id, dir_view, dir_light, hit)
+        ok = ok & (pdf_b > 0)
+        pdf_dir = pdf_b * jac * p_dir_t
+    else:
+        f = phase_eval(scene, med_id, dir_view, dir_light)
+        pdf_dir = phase_pdf(scene, med_id, dir_view, dir_light) * jac * \
+            p_dir_t
+
+    contrib = Tl * f * Le * jac / jnp.maximum(_avg(pdf_nee), 1e-30)
+    w = (pdf_nee * pdf_nee) / jnp.maximum(
+        pdf_nee * pdf_nee + pdf_dir * pdf_dir, 1e-30)
+    return key, jnp.where(ok, contrib * w, jnp.zeros(3))
+
+
+# ---------------------------------------------------------------------------
+# The final integrator (vol_path_tracing.h:503-869)
+# ---------------------------------------------------------------------------
+
+def volpath_trace_one(scene, options, px, py, key):
+    eps_isect = intersection_eps(scene.meta.scene_radius)
+    max_depth = options.max_depth
+
+    key, sub = jax.random.split(key)
+    u_pix = jax.random.uniform(sub, (2,))
+    org, d = sample_primary(scene, options, px.astype(jnp.float32),
+                            py.astype(jnp.float32), u_pix)
+
+    medium = jnp.int32(scene.meta.camera_medium_id)
+    ones = jnp.ones(3)
+
+    state = (key, org, d, medium, ones, jnp.zeros(3), jnp.int32(0),
+             jnp.float32(0.0), org, ones, jnp.float32(1.0),
+             jnp.bool_(True))
+
+    def cond(st):
+        return st[11] & (st[6] < MAX_BOUNCES_CAP)
+
+    def body(st):
+        (key, org, d, medium, T, L, bounces, dir_pdf, nee_p,
+         multi_trans_pdf, eta_scale, active) = st
+
+        hit = intersect_scene(scene, org, d, eps_isect, INF)
+        t_hit = jnp.where(hit.valid, hit.t, INF)
+
+        in_medium = medium >= 0
+        if scene.meta.num_media > 0:
+            key, trans, tdp, tnp, scatter, accum_t = _free_flight(
+                scene, options, key, org, d, medium, t_hit,
+                with_scatter=True)
+            trans = jnp.where(in_medium, trans, ones)
+            tdp = jnp.where(in_medium, tdp, ones)
+            tnp = jnp.where(in_medium, tnp, ones)
+            scatter = scatter & in_medium
+            multi_trans_pdf = jnp.where(in_medium, multi_trans_pdf * tdp,
+                                        multi_trans_pdf)
+            scatter_pos = org + d * accum_t
+        else:
+            trans = tdp = tnp = ones
+            scatter = jnp.bool_(False)
+            scatter_pos = org
+
+        # vacuum miss: the fork discards the path entirely (:634-641)
+        vacuum_miss = ~in_medium & ~hit.valid
+        L = jnp.where(vacuum_miss, 0.0, L)
+        active = active & ~vacuum_miss
+
+        new_org = jnp.where(scatter, scatter_pos,
+                            jnp.where(hit.valid, hit.position, org))
+        T = T * trans / jnp.maximum(_avg(tdp), 1e-30)
+
+        # ---- emission (:652-711) -------------------------------------------
+        hit_light = active & ~scatter & hit.valid & (hit.light_id >= 0)
+        Le = emission_area(scene, hit.light_id, hit.geometry_normal, -d)
+        lp2 = LightPoint(position=hit.position, normal=hit.geometry_normal)
+        pdf_nee_l = light_pmf(scene, hit.light_id) * \
+            pdf_point_on_light(scene, hit.light_id, lp2, nee_p) * tnp
+        jac = jnp.maximum(-dot(-d, hit.geometry_normal), 0.0) / \
+            jnp.maximum(distance_squared(nee_p, hit.position), 1e-20)
+        pdf_phase_l = dir_pdf * multi_trans_pdf * jac
+        w_l = (pdf_phase_l * pdf_phase_l) / jnp.maximum(
+            pdf_phase_l * pdf_phase_l + pdf_nee_l * pdf_nee_l, 1e-30)
+        first = bounces == 0
+        L = L + jnp.where(hit_light,
+                          T * Le * jnp.where(first, ones, w_l), 0.0)
+        active = active & ~(hit_light & first)  # :668 returns at bounce 0
+
+        # ---- index-matching pass-through (:716-726) ------------------------
+        pass_through = active & ~scatter & hit.valid & (hit.material_id < 0)
+        medium_pt = update_medium(hit, d, medium)
+
+        # ---- depth limit (:731-733) ----------------------------------------
+        depth_stop = (max_depth != -1) & (bounces >= max_depth - 1)
+        active_work = active & ~pass_through & ~depth_stop
+        active = active & ~(depth_stop & ~pass_through)
+
+        # ---- scatter in medium (:737-784) ----------------------------------
+        do_scatter = active_work & scatter & in_medium
+        sigma_s = get_sigma_s(scene, medium, new_org)
+        key, nee_s = _vol_nee(scene, options, key, new_org, medium, bounces,
+                              -d, False, hit)
+        L = L + jnp.where(do_scatter, T * sigma_s * nee_s, 0.0)
+        key, u_ph = _uniforms(key, 2)
+        next_dir = phase_sample(scene, medium, -d, u_ph)
+        ph_pdf = phase_pdf(scene, medium, -d, next_dir)
+        ph_f = phase_eval(scene, medium, -d, next_dir)
+        T_scatter = T * (ph_f / jnp.maximum(ph_pdf, 1e-30)) * sigma_s
+
+        # ---- surface interaction (:786-848) --------------------------------
+        do_surface = active_work & ~scatter & hit.valid
+        key, nee_b = _vol_nee(scene, options, key, new_org, medium, bounces,
+                              -d, True, hit)
+        L = L + jnp.where(do_surface, T * nee_b, 0.0)
+        key, u_b = _uniforms(key, 3)
+        rec = sample_bsdf(scene, hit.material_id, -d, hit, u_b[0:2], u_b[2])
+        f = eval_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
+        pdf_b = pdf_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
+        bsdf_ok = rec.valid & (pdf_b > 0)
+        active = active & ~(do_surface & ~bsdf_ok)
+        is_refract = rec.eta != 0.0
+        eta_scale = jnp.where(do_surface & is_refract,
+                              eta_scale / jnp.maximum(rec.eta * rec.eta,
+                                                      1e-12), eta_scale)
+        medium_sf = jnp.where(is_refract,
+                              update_medium(hit, rec.dir_out, medium),
+                              medium)
+        T_surface = T * f / jnp.maximum(pdf_b, 1e-30)
+
+        # nee cache update (:755-760, :806-810)
+        nee_valid = (do_scatter & (jnp.max(nee_s) > 0)) | \
+            (do_surface & (jnp.max(nee_b) > 0))
+        nee_p = jnp.where(nee_valid, new_org, nee_p)
+
+        # ---- merge branch results ------------------------------------------
+        d_next = jnp.where(do_scatter, next_dir,
+                           jnp.where(do_surface, rec.dir_out, d))
+        T = jnp.where(do_scatter, T_scatter,
+                      jnp.where(do_surface, T_surface, T))
+        medium = jnp.where(pass_through, medium_pt,
+                           jnp.where(do_surface, medium_sf, medium))
+        dir_pdf = jnp.where(do_scatter, ph_pdf, dir_pdf)
+        multi_trans_pdf = jnp.where(do_scatter, ones, multi_trans_pdf)
+
+        # ---- russian roulette (:851-862) -----------------------------------
+        do_rr = (bounces >= options.rr_depth) & active & ~pass_through
+        rr_prob = jnp.where(do_rr,
+                            jnp.minimum(jnp.max(T / eta_scale), 0.95), 1.0)
+        key, u_rr = _uniforms(key, 1)
+        active = active & ~(do_rr & (u_rr[0] > rr_prob))
+        T = jnp.where(do_rr, T / jnp.maximum(rr_prob, 1e-20), T)
+
+        return (key, new_org, d_next, medium, T, L, bounces + 1, dir_pdf,
+                nee_p, multi_trans_pdf, eta_scale, active)
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st[5]
+
+
+# ---------------------------------------------------------------------------
+# Pedagogical versions 1 & 2 (vol_path_tracing.h:6-147)
+# ---------------------------------------------------------------------------
+
+def volpath1_trace_one(scene, options, px, py, key):
+    """Absorption only, single homogeneous exterior volume (:6-41)."""
+    key, sub = jax.random.split(key)
+    u_pix = jax.random.uniform(sub, (2,))
+    org, d = sample_primary(scene, options, px.astype(jnp.float32),
+                            py.astype(jnp.float32), u_pix)
+    hit = intersect_scene(scene, org, d, 0.0, INF)
+    has_med = hit.valid & (hit.exterior_med >= 0)
+    sigma_a = get_sigma_a(scene, hit.exterior_med, hit.position)
+    t_hit = distance(hit.position, org)
+    transmittance = jnp.exp(-sigma_a * t_hit)
+    Le = jnp.where(hit.light_id >= 0,
+                   emission_area(scene, hit.light_id, hit.geometry_normal,
+                                 -d), jnp.zeros(3))
+    return jnp.where(has_med, transmittance * Le, jnp.zeros(3))
+
+
+def volpath2_trace_one(scene, options, px, py, key):
+    """Single monochromatic homogeneous volume, single scattering (:46-147)."""
+    eps_shadow = shadow_eps(scene.meta.scene_radius)
+    key, sub = jax.random.split(key)
+    u_pix = jax.random.uniform(sub, (2,))
+    org, d = sample_primary(scene, options, px.astype(jnp.float32),
+                            py.astype(jnp.float32), u_pix)
+    hit = intersect_scene(scene, org, d, 0.0, INF)
+    medium = jnp.where(hit.valid, hit.exterior_med,
+                       jnp.int32(scene.meta.camera_medium_id))
+    t_hit = jnp.where(hit.valid, distance(hit.position, org), INF)
+
+    sigma_s = get_sigma_s(scene, medium, hit.position)
+    sigma_a = get_sigma_a(scene, medium, hit.position)
+    sigma_t = sigma_s + sigma_a
+
+    key, u = _uniforms(key, 5)
+    t = -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) / \
+        jnp.maximum(sigma_t[0], 1e-20)
+
+    # scatter before surface
+    trans_pdf_s = jnp.exp(-sigma_t * t) * sigma_t
+    transmittance_s = jnp.exp(-sigma_t * t)
+    p = org + t * d
+    light_id = sample_light(scene, u[3])
+    lp = sample_point_on_light(scene, light_id, p, u[1:3], u[4])
+    dir_light = normalize(lp.position - p)
+    rho = phase_eval(scene, medium, -d, dir_light)
+    Le = emission_area(scene, light_id, lp.normal, -dir_light)
+    dist_l = distance(p, lp.position)
+    exp_term = jnp.exp(-sigma_t * dist_l)
+    from lajolla_tpu.scene.geometry import occluded
+    occ = occluded(scene, p, dir_light, eps_shadow,
+                   (1.0 - eps_shadow) * dist_l)
+    jac = jnp.abs(dot(dir_light, lp.normal)) / \
+        jnp.maximum(distance_squared(p, lp.position), 1e-20) * \
+        jnp.where(occ, 0.0, 1.0)
+    L_s1 = rho * Le * exp_term * jac
+    L_s1_pdf = light_pmf(scene, light_id) * \
+        pdf_point_on_light(scene, light_id, lp, p)
+    scatter_contrib = (transmittance_s / trans_pdf_s) * sigma_s * \
+        (L_s1 / jnp.maximum(L_s1_pdf, 1e-30))
+
+    # reach the surface
+    trans_pdf_h = jnp.exp(-sigma_t * t_hit)
+    transmittance_h = jnp.exp(-sigma_t * t_hit)
+    Le_h = jnp.where(hit.valid & (hit.light_id >= 0),
+                     emission_area(scene, hit.light_id,
+                                   hit.geometry_normal, -d), jnp.zeros(3))
+    surf_contrib = transmittance_h / jnp.maximum(trans_pdf_h, 1e-30) * Le_h
+
+    return jnp.where(t < t_hit, scatter_contrib, surf_contrib)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+_TRACERS = {0: volpath_trace_one, 1: volpath1_trace_one,
+            2: volpath2_trace_one, 3: volpath_trace_one,
+            4: volpath_trace_one, 5: volpath_trace_one,
+            6: volpath_trace_one}
+
+
+@partial(jax.jit, static_argnames=('options', 'nspp', 'tile'))
+def _render_volpath_block(scene, options, seed, s0, nspp, p0=0, tile=None):
+    """Render `nspp` samples of a contiguous pixel range [p0, p0+tile).
+    Small launches keep each device program short (the nested volumetric
+    loops make single launches long; oversized ones can trip runtime
+    watchdogs)."""
+    w = scene.meta.width
+    h = scene.meta.height
+    n = w * h
+    tile = tile or n
+    root = jax.random.PRNGKey(seed)
+    pix = (jnp.arange(tile, dtype=jnp.uint32) +
+           jnp.uint32(0) + jnp.asarray(p0, jnp.uint32))
+    px = (pix % w).astype(jnp.int32)
+    py = (pix // w).astype(jnp.int32)
+    pixel_keys = jax.vmap(jax.random.fold_in, (None, 0))(root, pix)
+    tracer = _TRACERS[options.vol_path_version]
+    trace = jax.vmap(tracer, in_axes=(None, None, 0, 0, 0))
+
+    def one_spp(i, img):
+        keys = jax.vmap(jax.random.fold_in, (0, None))(
+            pixel_keys, (s0 + i).astype(jnp.uint32))
+        L = trace(scene, options, px, py, keys)
+        # NaN exclusion, as in the reference film loop (render.cpp:140-143)
+        L = jnp.where(jnp.isfinite(L), L, 0.0)
+        return img + L
+
+    return jax.lax.fori_loop(0, nspp, one_spp,
+                             jnp.zeros((tile, 3), jnp.float32))
+
+
+VOL_SPP_BLOCK = 2
+VOL_TILE = 131072
+
+
+def render_volpath(scene, options, seed=0):
+    import numpy as np
+    w = scene.meta.width
+    h = scene.meta.height
+    n = w * h
+    spp = options.samples_per_pixel
+    tile = min(VOL_TILE, n)
+    img = np.zeros((n, 3), np.float32)
+    for p0 in range(0, n, tile):
+        tl = min(tile, n - p0)
+        s0 = 0
+        while s0 < spp:
+            ns = min(VOL_SPP_BLOCK, spp - s0)
+            block = _render_volpath_block(scene, options, seed, s0, ns,
+                                          p0, tl)
+            img[p0:p0 + tl] += np.asarray(block)
+            s0 += ns
+    return (img / spp).reshape(h, w, 3)

@@ -423,6 +423,7 @@ def compile_scene(b):
         needs_tangent=any(m.type in (T.MAT_DISNEY_METAL, T.MAT_DISNEY_GLASS,
                                      T.MAT_DISNEY_BSDF)
                           for m in b.materials),
+        has_grid_volumes=any(v.kind == T.VOL_GRID for v in b.volumes),
     )
 
     return Scene(

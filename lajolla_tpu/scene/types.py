@@ -117,6 +117,7 @@ class SceneMeta:
     needs_uv: bool = True        # any non-constant texture present
     needs_ray_diff: bool = True  # image textures anywhere (mip selection)
     needs_tangent: bool = True   # anisotropy-capable materials present
+    has_grid_volumes: bool = False
 
 
 @dataclass(frozen=True)

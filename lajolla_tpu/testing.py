@@ -34,6 +34,60 @@ def quad_mesh(z=0.0, half=1.0):
         uvs=np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64))
 
 
+def make_furnace_scene(albedo=0.6, res=24, env_radiance=1.0):
+    """Convex Lambertian sphere in a uniform environment light: every
+    sphere pixel must converge to albedo * env_radiance (no
+    self-interreflection on a convex body) — a quantitative end-to-end
+    gate on envmap emission/sampling, MIS weighting and BSDF sampling."""
+    import numpy as np
+    from lajolla_tpu.core import transform as xf
+    b = SceneBuilder(camera=CameraB(to_world=xf.look_at(
+        [0, 0, 4], [0, 0, 0], [0, 1, 0]), fov=30.0, width=res, height=res),
+        options=RenderOptions(), texture_pool=TexturePool())
+    m = MaterialB(type=T.MAT_LAMBERTIAN)
+    b.texdescs.append(TexDesc(kind=T.TEX_CONSTANT,
+                              const=(albedo, albedo, albedo)))
+    m.tex[T.P_BASE_COLOR] = 0
+    b.materials.append(m)
+    b.shapes.append(ShapeB(type=T.SHAPE_SPHERE, center=(0.0, 0.0, 0.0),
+                           radius=1.0, material_id=0))
+    img_id = b.texture_pool.insert(
+        "__envmap_texture__",
+        np.full((16, 32, 3), env_radiance, np.float32))
+    b.envmap_light_id = 0
+    b.lights.append(LightB(type=T.LIGHT_ENVMAP, image_id=img_id,
+                           to_world=xf.identity(), scale=1.0))
+    return compile_scene(b)
+
+
+def make_volume_scene(sigma_a=(0.05,) * 3, sigma_s=(0.3,) * 3, g=0.0,
+                      res=24, radiance=2.0):
+    """Emissive sphere inside a homogeneous scattering medium filling the
+    camera's space — exercises free-flight sampling, volumetric NEE and
+    phase sampling on a small fixture."""
+    import numpy as np
+    from lajolla_tpu.core import transform as xf
+    from lajolla_tpu.scene.parser import MediumB
+    b = SceneBuilder(camera=CameraB(to_world=xf.look_at(
+        [0, 0, 6], [0, 0, 0], [0, 1, 0]), fov=40.0, width=res, height=res,
+        medium_id=0),
+        options=RenderOptions(integrator='volpath'),
+        texture_pool=TexturePool())
+    b.media.append(MediumB(type=T.MED_HOMOGENEOUS, sigma_a=sigma_a,
+                           sigma_s=sigma_s, phase_type=T.PHASE_HG if g else
+                           T.PHASE_ISOTROPIC, g=g))
+    m = MaterialB(type=T.MAT_LAMBERTIAN)
+    b.texdescs.append(TexDesc(kind=T.TEX_CONSTANT, const=(0.0, 0.0, 0.0)))
+    m.tex[T.P_BASE_COLOR] = 0
+    b.materials.append(m)
+    b.shapes.append(ShapeB(type=T.SHAPE_SPHERE, center=(0.0, 0.0, 0.0),
+                           radius=1.0, material_id=0, area_light_id=0,
+                           exterior_medium_id=0))
+    b.lights.append(LightB(type=T.LIGHT_AREA, shape_id=0,
+                           intensity=(radiance,) * 3))
+    return compile_scene(b)
+
+
 def make_single_material_scene(mat_xml_type, params=None, eta=1.5):
     """One quad with the given material, a white area light quad above,
     camera looking down."""
