@@ -485,7 +485,9 @@ def render_volpath(scene, options, seed=0):
     h = scene.meta.height
     n = w * h
     spp = options.samples_per_pixel
-    tile = min(VOL_TILE, n)
+    # heterogeneous media run long null-collision chains → shorter launches
+    tile_cap = VOL_TILE // 4 if scene.meta.has_grid_volumes else VOL_TILE
+    tile = min(tile_cap, n)
     img = np.zeros((n, 3), np.float32)
     for p0 in range(0, n, tile):
         tl = min(tile, n - p0)

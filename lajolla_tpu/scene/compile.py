@@ -186,6 +186,19 @@ def compile_scene(b):
                    prim=np.arange(max(num_tris, 1), dtype=np.int32),
                    n_nodes=1)
 
+    # binned two-level intersector (the TPU-native path for big scenes)
+    use_binned = use_bvh
+    if use_binned:
+        from lajolla_tpu.ops.intersect_binned import build_clusters
+        cl = build_clusters(bvh, p0.astype(np.float32),
+                            e1.astype(np.float32), e2.astype(np.float32))
+    else:
+        cl = dict(cl_lo=np.zeros((1, 3), np.float32),
+                  cl_hi=np.zeros((1, 3), np.float32),
+                  cl_A=np.zeros((1, 3, 3), np.float32),
+                  cl_b=np.zeros((1, 3), np.float32),
+                  cl_prim=np.full((1, 1), -1, np.int32))
+
     # merged BVH tables: ONE wide gather per node visit / leaf triangle
     nb = bvh['lo'].shape[0]
     bvh_node = np.zeros((nb, 9), np.float32)
@@ -416,6 +429,7 @@ def compile_scene(b):
         scene_radius=radius,
         use_bvh=use_bvh,
         bvh_depth=int(bvh['n_nodes']),
+        use_binned=use_binned,
         has_image_textures=any(td.kind == T.TEX_IMAGE for td in b.texdescs),
         texture_types_present=tex_present,
         needs_uv=any(td.kind != T.TEX_CONSTANT for td in b.texdescs),
@@ -437,6 +451,9 @@ def compile_scene(b):
         bvh_first=_i32(bvh['first']), bvh_count=_i32(bvh['count']),
         bvh_skip=_i32(bvh['skip']), bvh_prim=_i32(bvh['prim']),
         bvh_node=_f32(bvh_node), bvh_leaf_tri=_f32(bvh_leaf_tri),
+        cl_lo=_f32(cl['cl_lo']), cl_hi=_f32(cl['cl_hi']),
+        cl_A=_f32(cl['cl_A']), cl_b=_f32(cl['cl_b']),
+        cl_prim=_i32(cl['cl_prim']),
         shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),
         shape_interior_med=_i32(shape_int_med),
         shape_exterior_med=_i32(shape_ext_med),

@@ -42,7 +42,11 @@ class Hit(NamedTuple):
 
 
 def intersect_triangles(scene, o, d, tnear, tfar):
-    if scene.meta.use_bvh:
+    # brute_force_triangles is a custom_vmap op whose batched rule picks
+    # the right backend: binned two-level (big scenes), Pallas Woop
+    # (small scenes on TPU), or plain XLA. The per-lane BVH traversal
+    # remains available as an oracle/fallback.
+    if scene.meta.use_bvh and not scene.meta.use_binned:
         return bvh_traverse(scene, o, d, tnear, tfar)
     return brute_force_triangles(scene, o, d, tnear, tfar)
 
@@ -217,7 +221,7 @@ def intersect_scene(scene, o, d, tnear, tfar, ray_radius=0.0, ray_spread=0.0,
 
 def occluded(scene, o, d, tnear, tfar):
     """Shadow-ray test (intersection.cpp:67-85)."""
-    if scene.meta.use_bvh:
+    if scene.meta.use_bvh and not scene.meta.use_binned:
         occ = bvh_occluded(scene, o, d, tnear, tfar)
     else:
         occ = occluded_brute(scene, o, d, tnear, tfar)

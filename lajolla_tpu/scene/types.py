@@ -118,6 +118,7 @@ class SceneMeta:
     needs_ray_diff: bool = True  # image textures anywhere (mip selection)
     needs_tangent: bool = True   # anisotropy-capable materials present
     has_grid_volumes: bool = False
+    use_binned: bool = False     # binned two-level intersector
 
 
 @dataclass(frozen=True)
@@ -161,6 +162,13 @@ class Scene:
     bvh_prim: Any        # (T,) i32 permutation leaf-slot → triangle index
     bvh_node: Any        # (N, 9) f32 merged [lo(3) hi(3) first count skip]
     bvh_leaf_tri: Any    # (T, 10) f32 leaf-order [p0 e1 e2 prim] (Moller data)
+
+    # --- binned two-level intersector (large scenes; ops/intersect_binned) --
+    cl_lo: Any           # (K, 3) f32 cluster AABBs
+    cl_hi: Any           # (K, 3) f32
+    cl_A: Any            # (K, 3, 3C) f32 dense Woop transform blocks
+    cl_b: Any            # (K, 3C) f32
+    cl_prim: Any         # (K, C) i32 triangle ids (-1 pad)
 
     # --- shape table -------------------------------------------------------
     shape_material_id: Any    # (NS,) i32
