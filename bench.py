@@ -29,12 +29,12 @@ def main():
     options = dataclasses.replace(options, samples_per_pixel=256)
     w, h = scene.meta.width, scene.meta.height
 
-    # warmup / compile
-    img = _render_block(scene, options, 0, 0, 2)
+    # warmup / compile (same static shape as the timed run)
+    img = _render_block(scene, options, 0, 0, TIMED_SPP)
     img.block_until_ready()
 
     t0 = time.time()
-    img = _render_block(scene, options, 0, 2, TIMED_SPP)
+    img = _render_block(scene, options, 0, TIMED_SPP, TIMED_SPP)
     img.block_until_ready()
     dt = time.time() - t0
 

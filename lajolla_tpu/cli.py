@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=None,
                     help="override samples per pixel")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint file; resumes an interrupted render")
+    ap.add_argument("--progress", action="store_true",
+                    help="print per-block progress")
     args = ap.parse_args(argv)
 
     for scene_file in args.scenes:
@@ -37,7 +41,8 @@ def main(argv=None):
         print(f"Done. Took {time.time() - t0:.5f} seconds.")
         print("Rendering...")
         t0 = time.time()
-        img = render(scene, options, seed=args.seed)
+        img = render(scene, options, seed=args.seed,
+                     checkpoint=args.checkpoint, progress=args.progress)
         print(f"Done. Took {time.time() - t0:.5f} seconds.")
         out = args.output or options.output_filename
         imwrite(out, img)

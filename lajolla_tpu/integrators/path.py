@@ -182,15 +182,17 @@ def _advance_lane(scene, options, st):
     return nst, died
 
 
-@partial(jax.jit, static_argnames=('options', 'nspp'))
-def _render_block(scene, options, seed, s0, nspp):
+@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes'))
+def _render_block(scene, options, seed, s0, nspp, lanes=None):
     """Render nspp samples/pixel (sample indices s0..s0+nspp) of the full
     film via the persistent-wavefront queue. Returns the film SUM (not
-    mean) so callers can combine blocks."""
+    mean) so callers can combine blocks. `lanes` < n*nspp shrinks the
+    worker pool (shorter device launches for heavy scenes) — the queue
+    semantics are unchanged."""
     w = scene.meta.width
     h = scene.meta.height
     n = w * h
-    lanes = n
+    lanes = lanes or n
     M = n * nspp
     root = jax.random.PRNGKey(seed)
 
@@ -254,15 +256,40 @@ def _render_block(scene, options, seed, s0, nspp):
     return film.reshape(h, w, 3)
 
 
-def render_path(scene, options, seed=0):
+def render_path(scene, options, seed=0, checkpoint=None, progress=False):
+    """Block-accumulating driver. `checkpoint` (optional path) persists
+    (film sum, samples done, seed) after every block so an interrupted
+    render resumes exactly — possible because RNG is counter-based per
+    (pixel, sample) work item (no stream state to save). The reference
+    has no checkpointing (SURVEY §5); it falls out of the design here."""
+    import numpy as np
+    from lajolla_tpu.utils.checkpoint import load_film, save_film
+    from lajolla_tpu.utils.progress import ProgressReporter
+
     spp = options.samples_per_pixel
-    img = None
-    s0 = 0
+    n = scene.meta.width * scene.meta.height
+    if scene.meta.use_binned:
+        # heavy intersector → short launches: small lane pool, 1 spp/launch
+        spp_block, lanes = 1, min(n, 65536)
+    else:
+        spp_block, lanes = SPP_BLOCK, n
+
+    img, s0 = None, 0
+    if checkpoint:
+        img, s0 = load_film(checkpoint, seed,
+                            (scene.meta.height, scene.meta.width, 3))
+    rep = ProgressReporter(spp, enabled=progress)
+    rep.done = s0
     while s0 < spp:
-        ns = min(SPP_BLOCK, spp - s0)
-        block = _render_block(scene, options, seed, s0, ns)
+        ns = min(spp_block, spp - s0)
+        block = np.asarray(_render_block(scene, options, seed, s0, ns,
+                                         lanes))
         img = block if img is None else img + block
         s0 += ns
+        rep.update(ns)
+        if checkpoint:
+            save_film(checkpoint, seed, img, s0)
+    rep.finish()
     return img / spp
 
 

@@ -479,8 +479,10 @@ VOL_SPP_BLOCK = 2
 VOL_TILE = 131072
 
 
-def render_volpath(scene, options, seed=0):
+def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     import numpy as np
+    from lajolla_tpu.utils.checkpoint import load_film, save_film
+    from lajolla_tpu.utils.progress import ProgressReporter
     w = scene.meta.width
     h = scene.meta.height
     n = w * h
@@ -488,14 +490,25 @@ def render_volpath(scene, options, seed=0):
     # heterogeneous media run long null-collision chains → shorter launches
     tile_cap = VOL_TILE // 4 if scene.meta.has_grid_volumes else VOL_TILE
     tile = min(tile_cap, n)
-    img = np.zeros((n, 3), np.float32)
-    for p0 in range(0, n, tile):
-        tl = min(tile, n - p0)
-        s0 = 0
-        while s0 < spp:
-            ns = min(VOL_SPP_BLOCK, spp - s0)
+
+    img, spp_done = None, 0
+    if checkpoint:
+        img, spp_done = load_film(checkpoint, seed, (n, 3))
+    if img is None:
+        img = np.zeros((n, 3), np.float32)
+    rep = ProgressReporter(spp, label="volpath", enabled=progress)
+    rep.done = spp_done
+    s0 = spp_done
+    while s0 < spp:
+        ns = min(VOL_SPP_BLOCK, spp - s0)
+        for p0 in range(0, n, tile):
+            tl = min(tile, n - p0)
             block = _render_volpath_block(scene, options, seed, s0, ns,
                                           p0, tl)
             img[p0:p0 + tl] += np.asarray(block)
-            s0 += ns
+        s0 += ns
+        rep.update(ns)
+        if checkpoint:
+            save_film(checkpoint, seed, img, s0)
+    rep.finish()
     return (img / spp).reshape(h, w, 3)

@@ -56,12 +56,16 @@ def _modules():
     }
 
 
-def _dispatch(scene, mat_id, method, args):
+def _dispatch(scene, mat_id, method, args, adjoint):
+    """`adjoint` (TransportDirection) is a static Python bool and is bound
+    by closure — never passed through switch operands (a traced bool would
+    break static branches inside the BSDFs)."""
     mods = _modules()
     present = scene.meta.mat_types_present or (T.MAT_LAMBERTIAN,)
     mat_id_c = jnp.maximum(mat_id, 0)
     if len(present) == 1:
-        return getattr(mods[present[0]], method)(scene, mat_id_c, *args)
+        return getattr(mods[present[0]], method)(scene, mat_id_c, *args,
+                                                 adjoint)
     from lajolla_tpu.ops.gather import fast_gather
     table = np.zeros(T.NUM_MAT_TYPES, np.int32)
     for i, t in enumerate(present):
@@ -70,21 +74,21 @@ def _dispatch(scene, mat_id, method, args):
     branch = jnp.asarray(table)[mat_type]
     return jax.lax.switch(
         branch,
-        [(lambda m: (lambda *a: getattr(m, method)(*a)))(mods[t])
+        [(lambda m: (lambda *a: getattr(m, method)(*a, adjoint)))(mods[t])
          for t in present],
         scene, mat_id_c, *args)
 
 
 def eval_bsdf(scene, mat_id, dir_in, dir_out, hit, adjoint=False):
     """BSDF x |cos| (material.h:126-131). Returns (3,)."""
-    return _dispatch(scene, mat_id, 'eval', (dir_in, dir_out, hit, adjoint))
+    return _dispatch(scene, mat_id, 'eval', (dir_in, dir_out, hit), adjoint)
 
 
 def pdf_bsdf(scene, mat_id, dir_in, dir_out, hit, adjoint=False):
     """Solid-angle pdf of sample_bsdf (material.h:161-166)."""
-    return _dispatch(scene, mat_id, 'pdf', (dir_in, dir_out, hit, adjoint))
+    return _dispatch(scene, mat_id, 'pdf', (dir_in, dir_out, hit), adjoint)
 
 
 def sample_bsdf(scene, mat_id, dir_in, hit, u2, w, adjoint=False):
     """Importance sample dir_out (material.h:133-154)."""
-    return _dispatch(scene, mat_id, 'sample', (dir_in, hit, u2, w, adjoint))
+    return _dispatch(scene, mat_id, 'sample', (dir_in, hit, u2, w), adjoint)

@@ -15,8 +15,14 @@ _AUX = ('depth', 'shadingNormal', 'meanCurvature', 'rayDifferential',
         'mipmapLevel')
 
 
-def render(scene, options=None, seed=0):
-    """Render → (H, W, 3) float32 numpy image."""
+def render(scene, options=None, seed=0, checkpoint=None, progress=False):
+    """Render → (H, W, 3) float32 numpy image.
+
+    checkpoint: optional path; the film accumulator + sample index are
+    persisted after every block, and an interrupted render resumes
+    exactly (counter-based RNG makes the remaining samples independent
+    of when they are computed).
+    """
     if options is None:
         options = RenderOptions()
     if options.integrator in _AUX:
@@ -25,10 +31,12 @@ def render(scene, options=None, seed=0):
         img = fn(scene, options)
     elif options.integrator == 'path':
         from lajolla_tpu.integrators.path import render_path
-        img = render_path(scene, options, seed)
+        img = render_path(scene, options, seed, checkpoint=checkpoint,
+                          progress=progress)
     elif options.integrator == 'volpath':
         from lajolla_tpu.integrators.volpath import render_volpath
-        img = render_volpath(scene, options, seed)
+        img = render_volpath(scene, options, seed, checkpoint=checkpoint,
+                             progress=progress)
     else:
         raise ValueError(f"unknown integrator: {options.integrator}")
     return np.asarray(img)
