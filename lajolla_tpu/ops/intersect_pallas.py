@@ -23,16 +23,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = float('inf')
-BLOCK_B = 512
+BLOCK_B = 4096
 
 
-def _kernel(o_ref, d_ref, tnf_ref, Ax_ref, Ay_ref, Az_ref,
+def _kernel(o_ref, d_ref, tn_ref, tf_ref, Ax_ref, Ay_ref, Az_ref,
             t_ref, prim_ref, u_ref, v_ref, *, T: int, want_uv: bool):
-    # o/d: (3, B); tnf: (2, B); A{x,y,z}: (T, 4) rows [a0 a1 a2 bias]
-    o = o_ref[:]
-    d = d_ref[:]
-    tnear = tnf_ref[0:1, :]   # (1, B)
-    tfar = tnf_ref[1:2, :]
+    # o/d: (B, 3) transposed IN-KERNEL to (3, B); tn/tf: (1, B);
+    # A{x,y,z}: (T, 4) rows [a0 a1 a2 bias]
+    o = o_ref[:].T
+    d = d_ref[:].T
+    tnear = tn_ref[:]         # (1, B)
+    tfar = tf_ref[:]
 
     def contract(A, vec, with_bias):
         # (T,1)x(1,B) broadcasts: out (T, B)
@@ -82,9 +83,8 @@ def _call(scene, o, d, tnear, tfar, want_uv):
         tnear = jnp.pad(tnear, (0, pad))
         tfar = jnp.pad(tfar, (0, pad))
     Np = N + pad
-    o3 = o.T
-    d3 = d.T
-    tnf = jnp.stack([tnear, tfar], axis=0)
+    tn2 = tnear[None, :]
+    tf2 = tfar[None, :]
     # per-axis (T, 4) transform rows [a0 a1 a2 bias]
     A = scene.tri_woop_A          # (3, 3T)
     b = scene.tri_woop_b          # (3T,)
@@ -100,9 +100,12 @@ def _call(scene, o, d, tnear, tfar, want_uv):
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((3, BLOCK_B), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, BLOCK_B), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_B, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_B, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_B), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_B), blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
@@ -119,7 +122,7 @@ def _call(scene, o, d, tnear, tfar, want_uv):
             jax.ShapeDtypeStruct((1, Np), jnp.float32),
             jax.ShapeDtypeStruct((1, Np), jnp.float32),
         ],
-    )(o3, d3, tnf, Ax, Ay, Az)
+    )(o, d, tn2, tf2, Ax, Ay, Az)
     return (t[0, :N], prim[0, :N], u[0, :N], v[0, :N])
 
 
