@@ -182,6 +182,76 @@ def _advance_lane(scene, options, st):
     return nst, died
 
 
+def _use_kernel(scene):
+    from lajolla_tpu.integrators import path_kernel
+    return (jax.default_backend() == 'tpu' and
+            path_kernel.supports(scene.meta))
+
+
+def _render_block_kernel(scene, options, seed, s0, nspp, lanes, n, end):
+    """Fast-path wavefront loop: state held in TRANSPOSED (3, N) layout so
+    the fused Pallas advance kernel (integrators/path_kernel.py) runs with
+    zero relayouts. Draws the SAME per-lane uniforms as the scalar engine,
+    so both produce identical samples."""
+    from lajolla_tpu.integrators.path_kernel import advance_kernel_t
+    w = scene.meta.width
+    root = jax.random.PRNGKey(seed)
+    prim = jax.vmap(_primary_ray, in_axes=(None, None, 0, None))
+
+    item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n
+    key0, _pix, org0, d0 = prim(scene, options, item0, root)
+    z = jnp.zeros(lanes, jnp.float32)
+    state = (key0, item0, jnp.full(lanes, 2, jnp.int32),
+             org0.T, d0.T, jnp.ones((3, lanes), jnp.float32),
+             jnp.zeros((3, lanes), jnp.float32), z, org0.T,
+             jnp.zeros(lanes, jnp.bool_))
+    film0 = jnp.zeros((n, 3), jnp.float32)
+
+    def cond(carry):
+        st, film = carry
+        return ~jnp.all(st[9])
+
+    def body(carry):
+        st, film = carry
+        (key, item, nv, orgT, dT, thrT, radT, dir_pdf, prevT, done) = st
+        ks = jax.vmap(jax.random.split)(key)
+        key, sub = ks[:, 0], ks[:, 1]
+        u = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(sub)
+        orgT, dT, thrT, radT2, dir_pdf, prevT, alive = advance_kernel_t(
+            scene, options, orgT, dT, thrT, radT, nv, dir_pdf, prevT,
+            u.T, ~done, MAX_BOUNCES_CAP)
+        died = ~done & ~alive
+        nv = nv + 1
+
+        pixel = (item % n).astype(jnp.int32)
+        film = film.at[pixel].add(jnp.where(died[:, None], radT2.T, 0.0))
+
+        next_item = item + lanes
+        has_more = next_item < end
+        regen = died & has_more
+        done = done | (died & ~has_more)
+
+        rkey, _rp, rorg, rd = prim(scene, options, next_item, root)
+        sel = lambda a, b: jnp.where(regen, a, b)
+        selt = lambda a, b: jnp.where(regen[None, :], a, b)
+        state_new = (
+            jnp.where(regen[:, None], rkey, key),
+            sel(next_item, item),
+            sel(jnp.full_like(nv, 2), nv),
+            selt(rorg.T, orgT),
+            selt(rd.T, dT),
+            selt(jnp.ones_like(thrT), thrT),
+            selt(jnp.zeros_like(radT2), radT2),
+            sel(jnp.zeros_like(dir_pdf), dir_pdf),
+            selt(rorg.T, prevT),
+            done,
+        )
+        return (state_new, film)
+
+    (_, film) = jax.lax.while_loop(cond, body, (state, film0))
+    return film.reshape(scene.meta.height, w, 3)
+
+
 @partial(jax.jit, static_argnames=('options', 'nspp', 'lanes'))
 def _render_block(scene, options, seed, s0, nspp, lanes=None):
     """Render nspp samples/pixel (sample indices s0..s0+nspp) of the full
@@ -194,6 +264,9 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
     n = w * h
     lanes = lanes or n
     M = n * nspp
+    if _use_kernel(scene):
+        return _render_block_kernel(scene, options, seed, s0, nspp, lanes,
+                                    n, s0 * n + M)
     root = jax.random.PRNGKey(seed)
 
     item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n

@@ -388,6 +388,44 @@ def compile_scene(b):
     tex_tab[:, 8:10] = tex_uvscale
     tex_tab[:, 10:12] = tex_uvoffset
 
+    # ------------------------------------------ diffuse fast-path tables
+    # (integrators/path_kernel.py); packed whenever the config qualifies.
+    nt_fp = max(num_tris, 1)
+    fp_woop = np.zeros((nt_fp, 12), np.float32)
+    fp_tri = np.zeros((28, nt_fp), np.float32)
+    fp_light = np.zeros((8, max(nl, 1)), np.float32)
+    if num_tris > 0:
+        Tn = num_tris
+        fp_woop[:, 0:3] = woop_A[:, :Tn].T
+        fp_woop[:, 3] = woop_b[:Tn]
+        fp_woop[:, 4:7] = woop_A[:, Tn:2 * Tn].T
+        fp_woop[:, 7] = woop_b[Tn:2 * Tn]
+        fp_woop[:, 8:11] = woop_A[:, 2 * Tn:].T
+        fp_woop[:, 11] = woop_b[2 * Tn:]
+        fp_tri[0:3] = p0.T
+        fp_tri[3:6] = e1.T
+        fp_tri[6:9] = e2.T
+        fp_tri[9:12] = normals[indices[:, 0]].T
+        fp_tri[12:15] = normals[indices[:, 1]].T
+        fp_tri[15:18] = normals[indices[:, 2]].T
+        fp_tri[18] = shape_has_n[tri_shape]
+        t_light = shape_light[tri_shape]
+        fp_tri[19] = t_light
+        # constant-texture reflectance per triangle's material
+        t_mat = np.maximum(shape_material[tri_shape], 0)
+        fp_tri[20:23] = tex_const[mat_tex[t_mat, 0]].T
+        lt_c = np.maximum(t_light, 0)
+        is_l = (t_light >= 0).astype(np.float32)
+        fp_tri[23:26] = (light_intensity[lt_c] * is_l[:, None]).T
+        fp_tri[26] = 1.0 / np.maximum(shape_area[tri_shape], 1e-20)
+        fp_tri[27] = light_pmf[lt_c] * is_l
+        fp_light[0] = light_cdf
+        fp_light[1] = light_pmf
+        fp_light[2:5] = light_intensity.T
+        l_shape_c = np.maximum(light_shape, 0)
+        fp_light[5] = 1.0 / np.maximum(shape_area[l_shape_c], 1e-20)
+        fp_light[6] = light_shape
+
     # ------------------------------------------------------------------ camera
     cam = b.camera
     aspect = cam.width / cam.height
@@ -454,6 +492,7 @@ def compile_scene(b):
         cl_lo=_f32(cl['cl_lo']), cl_hi=_f32(cl['cl_hi']),
         cl_A=_f32(cl['cl_A']), cl_b=_f32(cl['cl_b']),
         cl_prim=_i32(cl['cl_prim']),
+        fp_woop=_f32(fp_woop), fp_tri=_f32(fp_tri), fp_light=_f32(fp_light),
         shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),
         shape_interior_med=_i32(shape_int_med),
         shape_exterior_med=_i32(shape_ext_med),

@@ -170,6 +170,11 @@ class Scene:
     cl_b: Any            # (K, 3C) f32
     cl_prim: Any         # (K, C) i32 triangle ids (-1 pad)
 
+    # --- diffuse fast-path tables (integrators/path_kernel.py) --------------
+    fp_woop: Any         # (T, 12) f32 [Ax(4) Ay(4) Az(4)]
+    fp_tri: Any          # (28, T) f32 packed per-triangle shading record
+    fp_light: Any        # (8, L) f32 packed light table
+
     # --- shape table -------------------------------------------------------
     shape_material_id: Any    # (NS,) i32
     shape_light_id: Any       # (NS,) i32  (area light id or -1)
