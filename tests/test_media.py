@@ -1,0 +1,101 @@
+"""Volume/medium/phase unit tests (reference analogues: volume.h lookup
+semantics, phase function normalization)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lajolla_tpu.integrators.media import (get_majorant, get_sigma_a,
+                                           get_sigma_s, lookup_volume,
+                                           phase_eval, phase_pdf,
+                                           phase_sample)
+from lajolla_tpu.scene.parser import parse_scene
+
+REF = "/root/reference/scenes"
+
+
+@pytest.fixture(scope="module")
+def hetvol_scene():
+    sc, _ = parse_scene(f"{REF}/volpath_test/hetvol.xml")
+    return sc
+
+
+def test_grid_lookup_inside_outside(hetvol_scene):
+    sc = hetvol_scene
+    med = jnp.int32(0)
+    dvol = sc.med_density_vol[0]
+    pmin = np.asarray(sc.vol_pmin[dvol])
+    pmax = np.asarray(sc.vol_pmax[dvol])
+    center = jnp.asarray((pmin + pmax) / 2, jnp.float32)
+    outside = jnp.asarray(pmax + 1.0, jnp.float32)
+    v_in = np.asarray(lookup_volume(sc, dvol, center))
+    v_out = np.asarray(lookup_volume(sc, dvol, outside))
+    assert (v_in >= 0).all() and np.isfinite(v_in).all()
+    assert np.allclose(v_out, 0.0)   # outside the grid bbox → 0 (volume.h:48)
+    # majorant bounds the density everywhere (grid max)
+    maxv = np.asarray(sc.vol_maxval[dvol])
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(pmin, pmax, size=(256, 3)), jnp.float32)
+    dens = np.asarray(jax.vmap(lambda p: lookup_volume(sc, dvol, p))(pts))
+    assert (dens <= maxv + 1e-4).all()
+
+
+def test_majorant_ray_gated(hetvol_scene):
+    sc = hetvol_scene
+    med = jnp.int32(0)
+    dvol = sc.med_density_vol[0]
+    pmin = np.asarray(sc.vol_pmin[dvol])
+    pmax = np.asarray(sc.vol_pmax[dvol])
+    center = jnp.asarray((pmin + pmax) / 2, jnp.float32)
+    # ray through the grid: majorant = grid max; ray away: zero
+    o = jnp.asarray(pmin - 5.0, jnp.float32)
+    d_to = jnp.asarray((np.asarray(center) - np.asarray(o)), jnp.float32)
+    d_to = d_to / jnp.linalg.norm(d_to)
+    m_hit = np.asarray(get_majorant(sc, med, o, d_to, jnp.float32(1e9)))
+    m_miss = np.asarray(get_majorant(sc, med, o, -d_to, jnp.float32(1e9)))
+    assert (m_hit > 0).all()
+    assert np.allclose(m_miss, 0.0)
+
+
+def test_sigma_decomposition(hetvol_scene):
+    """sigma_s + sigma_a == density (albedo-weighted split,
+    media/heterogeneous.inl:12-21)."""
+    sc = hetvol_scene
+    med = jnp.int32(0)
+    dvol = sc.med_density_vol[0]
+    pmin = np.asarray(sc.vol_pmin[dvol])
+    pmax = np.asarray(sc.vol_pmax[dvol])
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.uniform(pmin, pmax, size=(64, 3)), jnp.float32)
+    ss = np.asarray(jax.vmap(lambda p: get_sigma_s(sc, med, p))(pts))
+    sa = np.asarray(jax.vmap(lambda p: get_sigma_a(sc, med, p))(pts))
+    dens = np.asarray(jax.vmap(lambda p: lookup_volume(sc, dvol, p))(pts))
+    np.testing.assert_allclose(ss + sa, dens, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("g", [0.0, 0.3, -0.7])
+def test_phase_normalization(hetvol_scene, g):
+    """Phase pdf integrates to 1 over the sphere; sample ↔ pdf agree on
+    the mean cosine (= g for HG)."""
+    sc = hetvol_scene
+    import dataclasses
+    sc = dataclasses.replace(
+        sc, med_g=jnp.full_like(sc.med_g, g),
+        med_phase_type=jnp.ones_like(sc.med_phase_type))
+    med = jnp.int32(0)
+    d_in = jnp.array([0.0, 0.0, 1.0])
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(20000, 3))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    pdfs = np.asarray(jax.vmap(
+        lambda v: phase_pdf(sc, med, d_in, v))(jnp.asarray(x, jnp.float32)))
+    assert pdfs.mean() * 4 * np.pi == pytest.approx(1.0, rel=0.03)
+    u = jnp.asarray(rng.uniform(size=(20000, 2)), jnp.float32)
+    dirs = np.asarray(jax.vmap(
+        lambda u: phase_sample(sc, med, d_in, u))(u))
+    mean_cos = (dirs @ np.asarray(d_in)).mean()
+    # the reference parameterizes HG with +2g·dot(dir_in, dir_out) where
+    # dir_in points BACK toward the previous vertex
+    # (henyeygreenstein.inl:4-6): E[dot(dir_in, dir_out)] = -g.
+    assert mean_cos == pytest.approx(-g, abs=0.02)
