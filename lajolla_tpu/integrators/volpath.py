@@ -53,6 +53,27 @@ def _uniforms(key, n):
     return key, jax.random.uniform(sub, (n,))
 
 
+def _sigmas(scene, med_id, p):
+    """sigma_s and sigma_a from ONE density + ONE albedo lookup (the
+    separate get_sigma_s/get_sigma_a calls would do the grid trilinear
+    twice each — this is the inner-loop hot spot for grid media)."""
+    from lajolla_tpu.integrators.media import lookup_volume
+    from lajolla_tpu.scene.types import MED_HETEROGENEOUS, MED_HOMOGENEOUS
+    med_id = jnp.maximum(med_id, 0)
+    hom_s = scene.med_sigma_s[med_id]
+    hom_a = scene.med_sigma_a[med_id]
+    if MED_HETEROGENEOUS not in scene.meta.med_types_present:
+        return hom_s, hom_a
+    typ = scene.med_type[med_id]
+    density = lookup_volume(scene, scene.med_density_vol[med_id], p)
+    albedo = lookup_volume(scene, scene.med_albedo_vol[med_id], p)
+    het_s = density * albedo
+    het_a = density * (1.0 - albedo)
+    is_hom = typ == MED_HOMOGENEOUS
+    return (jnp.where(is_hom, hom_s, het_s),
+            jnp.where(is_hom, hom_a, het_a))
+
+
 # ---------------------------------------------------------------------------
 # Free-flight (null-scattering) sampling through a medium segment
 # (vol_path_tracing.h:554-629 main form; :355-410 NEE form)
@@ -84,8 +105,7 @@ def _free_flight(scene, options, key, org, d, med_id, t_hit,
         in_flight = t < dt
 
         p = org + d * accum_t
-        sigma_s = get_sigma_s(scene, med_id, p)
-        sigma_a = get_sigma_a(scene, med_id, p)
+        sigma_s, sigma_a = _sigmas(scene, med_id, p)
         sigma_t = sigma_s + sigma_a
         sigma_n = majorant * (1.0 - sigma_t / jnp.maximum(majorant, 1e-20))
         real_prob = sigma_t / jnp.maximum(majorant, 1e-20)
@@ -487,9 +507,11 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     h = scene.meta.height
     n = w * h
     spp = options.samples_per_pixel
-    # heterogeneous media run long null-collision chains → shorter launches
-    tile_cap = VOL_TILE // 4 if scene.meta.has_grid_volumes else VOL_TILE
+    # heterogeneous media run long null-collision chains → much shorter
+    # launches (the lockstep inner loop can run hundreds of iterations)
+    tile_cap = 8192 if scene.meta.has_grid_volumes else VOL_TILE
     tile = min(tile_cap, n)
+    spp_block = 1 if scene.meta.has_grid_volumes else VOL_SPP_BLOCK
 
     img, spp_done = None, 0
     if checkpoint:
@@ -500,7 +522,7 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     rep.done = spp_done
     s0 = spp_done
     while s0 < spp:
-        ns = min(VOL_SPP_BLOCK, spp - s0)
+        ns = min(spp_block, spp - s0)
         for p0 in range(0, n, tile):
             tl = min(tile, n - p0)
             block = _render_volpath_block(scene, options, seed, s0, ns,
