@@ -509,7 +509,7 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     spp = options.samples_per_pixel
     # heterogeneous media run long null-collision chains → much shorter
     # launches (the lockstep inner loop can run hundreds of iterations)
-    tile_cap = 8192 if scene.meta.has_grid_volumes else VOL_TILE
+    tile_cap = 2048 if scene.meta.has_grid_volumes else VOL_TILE
     tile = min(tile_cap, n)
     spp_block = 1 if scene.meta.has_grid_volumes else VOL_SPP_BLOCK
 
