@@ -188,20 +188,86 @@ def _use_kernel(scene):
             path_kernel.supports(scene.meta))
 
 
+def _dense_film_add(film, pixel, contrib, n, lanes):
+    """film[pixel] += contrib ((N,3), zeros for non-finished lanes).
+
+    XLA's scatter-add is by far the most expensive op in the wavefront
+    loop on TPU (~75% of cbox wall time measured). The queue stride
+    makes it avoidable: work items advance by `lanes`, so item ≡ lane
+    (mod lanes). When lanes divides n each lane only ever touches pixel
+    lane + k·lanes — K dense masked adds; when n divides lanes,
+    pixel = lane mod n — one reshaped dense add. Scatter remains only
+    for the irregular fallback."""
+    if n % lanes == 0:
+        K = n // lanes
+        k_lane = pixel // lanes                            # (N,)
+        kio = jnp.arange(K, dtype=jnp.int32)[:, None]
+        mask = (kio == k_lane[None, :]).astype(jnp.float32)
+        adds = mask[:, :, None] * contrib[None, :, :]      # (K, N, 3)
+        return film + adds.reshape(n, 3)
+    if lanes % n == 0:
+        return film + contrib.reshape(lanes // n, n, 3).sum(0)
+    return film.at[pixel].add(contrib)
+
+
+# Counter-based hash RNG for the fused-kernel driver. The general engine
+# keys threefry per lane; threefry is ~10x the ALU work and dominated the
+# wavefront glue on TPU. The kernel driver instead derives every uniform
+# from (seed, work item, bounce, dim) with the pcg_hash mixer (Jarzynski &
+# Olano, "Hash Functions for GPU Rendering") — the same role PCG32 plays
+# in the reference (pcg.h:21-41): statistically solid white noise, not
+# cryptographic. Deterministic and placement-independent, so checkpoint
+# resume and multi-chip sharding behave exactly like the threefry path.
+
+def _pcg_hash(v):
+    v = v * jnp.uint32(747796405) + jnp.uint32(2891336453)
+    w = ((v >> ((v >> jnp.uint32(28)) + jnp.uint32(4))) ^ v) \
+        * jnp.uint32(277803737)
+    return (w >> jnp.uint32(22)) ^ w
+
+
+_GOLD = 0x9E3779B9  # 2^32 / golden ratio: decorrelates dimension streams
+
+
+def _hash_u01(x):
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / 16777216.0)
+
+
+def _primary_hash(scene, options, item, seed_u32):
+    """Camera ray for work item `item` with hash-derived uniforms
+    (vectorized over item; semantics of _primary_ray otherwise)."""
+    w = scene.meta.width
+    n = w * scene.meta.height
+    pixel = (item % n).astype(jnp.uint32)
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+    hp = _pcg_hash(item.astype(jnp.uint32) ^
+                   _pcg_hash(seed_u32 ^ jnp.uint32(0xCAFEF00D)))
+    u_pix = jnp.stack(
+        [_hash_u01(_pcg_hash(hp + jnp.uint32(_GOLD))),
+         _hash_u01(_pcg_hash(hp + jnp.uint32(2 * _GOLD & 0xFFFFFFFF)))],
+        axis=-1)
+    org, d = jax.vmap(sample_primary, in_axes=(None, None, 0, 0, 0))(
+        scene, options, px, py, u_pix)
+    return pixel.astype(jnp.int32), org, d
+
+
 def _render_block_kernel(scene, options, seed, s0, nspp, lanes, n, end):
     """Fast-path wavefront loop: state held in TRANSPOSED (3, N) layout so
     the fused Pallas advance kernel (integrators/path_kernel.py) runs with
-    zero relayouts. Draws the SAME per-lane uniforms as the scalar engine,
-    so both produce identical samples."""
+    zero relayouts, and all randomness drawn from the counter hash above
+    (no per-lane threefry chains in the loop body)."""
     from lajolla_tpu.integrators.path_kernel import advance_kernel_t
     w = scene.meta.width
-    root = jax.random.PRNGKey(seed)
-    prim = jax.vmap(_primary_ray, in_axes=(None, None, 0, None))
+    su = jnp.uint32(seed)
+    kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
+            jnp.uint32(_GOLD))[:, None]                   # (8, 1)
 
     item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n
-    key0, _pix, org0, d0 = prim(scene, options, item0, root)
+    _pix, org0, d0 = _primary_hash(scene, options, item0, su)
     z = jnp.zeros(lanes, jnp.float32)
-    state = (key0, item0, jnp.full(lanes, 2, jnp.int32),
+    state = (item0, jnp.full(lanes, 2, jnp.int32),
              org0.T, d0.T, jnp.ones((3, lanes), jnp.float32),
              jnp.zeros((3, lanes), jnp.float32), z, org0.T,
              jnp.zeros(lanes, jnp.bool_))
@@ -209,33 +275,33 @@ def _render_block_kernel(scene, options, seed, s0, nspp, lanes, n, end):
 
     def cond(carry):
         st, film = carry
-        return ~jnp.all(st[9])
+        return ~jnp.all(st[8])
 
     def body(carry):
         st, film = carry
-        (key, item, nv, orgT, dT, thrT, radT, dir_pdf, prevT, done) = st
-        ks = jax.vmap(jax.random.split)(key)
-        key, sub = ks[:, 0], ks[:, 1]
-        u = jax.vmap(lambda k: jax.random.uniform(k, (8,)))(sub)
+        (item, nv, orgT, dT, thrT, radT, dir_pdf, prevT, done) = st
+        hb = _pcg_hash(item.astype(jnp.uint32) ^
+                       _pcg_hash(nv.astype(jnp.uint32) ^ su))
+        uT = _hash_u01(_pcg_hash(hb[None, :] + kidx))     # (8, N)
         orgT, dT, thrT, radT2, dir_pdf, prevT, alive = advance_kernel_t(
             scene, options, orgT, dT, thrT, radT, nv, dir_pdf, prevT,
-            u.T, ~done, MAX_BOUNCES_CAP)
+            uT, ~done, MAX_BOUNCES_CAP)
         died = ~done & ~alive
         nv = nv + 1
 
         pixel = (item % n).astype(jnp.int32)
-        film = film.at[pixel].add(jnp.where(died[:, None], radT2.T, 0.0))
+        contrib = jnp.where(died[:, None], radT2.T, 0.0)
+        film = _dense_film_add(film, pixel, contrib, n, lanes)
 
         next_item = item + lanes
         has_more = next_item < end
         regen = died & has_more
         done = done | (died & ~has_more)
 
-        rkey, _rp, rorg, rd = prim(scene, options, next_item, root)
+        _rp, rorg, rd = _primary_hash(scene, options, next_item, su)
         sel = lambda a, b: jnp.where(regen, a, b)
         selt = lambda a, b: jnp.where(regen[None, :], a, b)
         state_new = (
-            jnp.where(regen[:, None], rkey, key),
             sel(next_item, item),
             sel(jnp.full_like(nv, 2), nv),
             selt(rorg.T, orgT),
@@ -297,7 +363,8 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
 
         # splat finished paths
         pixel = (item % n).astype(jnp.int32)
-        film = film.at[pixel].add(jnp.where(died[:, None], L, 0.0))
+        film = _dense_film_add(film, pixel, jnp.where(died[:, None], L, 0.0),
+                               n, lanes)
 
         # regenerate from the queue
         next_item = item + lanes

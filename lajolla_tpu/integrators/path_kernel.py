@@ -12,8 +12,10 @@ configuration.
 Activation (static, on SceneMeta): Lambertian-only materials, mesh-only
 geometry and lights, no envmap, no media, constant textures, brute-force
 intersector — the headline cbox workload qualifies. The per-item
-counter-based uniforms are generated OUTSIDE and fed in, so images are
-bit-comparable with the general engine.
+counter-based uniforms are generated OUTSIDE and fed in; the driver
+draws them from the pcg-hash counter stream (integrators/path.py), so
+images differ from the threefry general engine only as independent
+samples of the same estimator.
 """
 
 import functools
@@ -24,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = float('inf')
-BLOCK = 2048
+BLOCK = 4096
 PI = 3.141592653589793
 
 
