@@ -71,3 +71,29 @@ def test_volpath_scattering_runs():
     center = img[h // 2, h // 2].mean()
     assert center > 0.5
     assert corner > 1e-4  # in-scattered glow reaches off-silhouette pixels
+
+
+def test_dense_film_add_matches_scatter():
+    """The dense queue-stride film decompositions must equal scatter-add
+    exactly in all three regimes (K-dense, reshape-dense, fallback)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from lajolla_tpu.integrators.path import _dense_film_add
+
+    rng = np.random.default_rng(3)
+
+    def check(n, lanes):
+        # items stride by `lanes`, so pixel = item % n with item ≡ lane
+        slots = rng.integers(0, 7, size=lanes)
+        item = np.arange(lanes) + slots * lanes
+        pixel = jnp.asarray(item % n, jnp.int32)
+        contrib = jnp.asarray(rng.normal(size=(lanes, 3)), jnp.float32)
+        film = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        want = np.asarray(film).copy()
+        np.add.at(want, np.asarray(pixel), np.asarray(contrib))
+        got = np.asarray(_dense_film_add(film, pixel, contrib, n, lanes))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    check(n=256, lanes=64)    # n % lanes == 0 (K dense masked adds)
+    check(n=64, lanes=256)    # lanes % n == 0 (reshaped dense add)
+    check(n=96, lanes=64)     # neither — scatter fallback
