@@ -7,6 +7,7 @@ compatibility (parallelism is the XLA program + device mesh here).
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 
@@ -32,6 +33,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     for scene_file in args.scenes:
+        if not os.path.isfile(scene_file):
+            ap.error(f"scene file not found: {scene_file}")
         print(f"Parsing and constructing scene {scene_file}.")
         t0 = time.time()
         scene, options = parse_scene(scene_file)
