@@ -58,30 +58,16 @@ def _ray_diff_refract(spread, radius, mean_curvature, eta, roughness):
     return jnp.maximum(spec * (1.0 - roughness) + 0.2 * roughness, 0.0)
 
 
-def _primary_ray(scene, options, item, root):
-    """Generate the camera ray for work item `item` (scalar)."""
-    w = scene.meta.width
-    n = w * scene.meta.height
-    pixel = (item % n).astype(jnp.uint32)
-    px = (pixel % w).astype(jnp.float32)
-    py = (pixel // w).astype(jnp.float32)
-    # raw (uint32, 2) keys so lane states stay jnp.where-selectable
-    key = jax.random.fold_in(root, item.astype(jnp.uint32))
-    key, sub = jax.random.split(key)
-    u_pix = jax.random.uniform(sub, (2,))
-    org, d = sample_primary(scene, options, px, py, u_pix)
-    return key, pixel.astype(jnp.int32), org, d
-
-
-def _advance_lane(scene, options, st):
+def _advance_lane(scene, options, st, u):
     """One path-vertex step for a single lane (scalar; vmapped).
 
-    st: (key, item, nv, org, d, spread, radius, T, L, eta_scale,
-         dir_pdf, prev_pos, done)
-    Returns (new_state_tuple, died, pixel_contrib) where died marks a
-    path completing THIS step (radiance ready to splat).
+    st: (item, nv, org, d, spread, radius, T, L, eta_scale,
+         dir_pdf, prev_pos, done); u: the lane's 8 uniforms for this
+    vertex (drawn by the driver from the counter-hash stream).
+    Returns (new_state_tuple, died) where died marks a path completing
+    THIS step (radiance ready to splat).
     """
-    (key, item, nv, org, d, spread, radius, T, L, eta_scale,
+    (item, nv, org, d, spread, radius, T, L, eta_scale,
      dir_pdf, prev_pos, done) = st
     eps_shadow = shadow_eps(scene.meta.scene_radius)
     eps_isect = intersection_eps(scene.meta.scene_radius)
@@ -122,8 +108,6 @@ def _advance_lane(scene, options, st):
                            nv > max_depth)
     alive = hit.valid & ~depth_stop
 
-    key, sub = jax.random.split(key)
-    u = jax.random.uniform(sub, (8,))
     dir_view = -d
     mat_id = hit.material_id
 
@@ -177,7 +161,7 @@ def _advance_lane(scene, options, st):
 
     died = ~done & ~alive
 
-    nst = (key, item, nv + 1, hit.position, rec.dir_out, new_spread, radius,
+    nst = (item, nv + 1, hit.position, rec.dir_out, new_spread, radius,
            new_T, L, new_eta_scale, p2s, hit.position, done)
     return nst, died
 
@@ -333,15 +317,16 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
     if _use_kernel(scene):
         return _render_block_kernel(scene, options, seed, s0, nspp, lanes,
                                     n, s0 * n + M)
-    root = jax.random.PRNGKey(seed)
+    su = jnp.uint32(seed)
+    kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
+            jnp.uint32(_GOLD))[None, :]                    # (1, 8)
 
     item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n
-    prim = jax.vmap(_primary_ray, in_axes=(None, None, 0, None))
-    key0, pixel0, org0, d0 = prim(scene, options, item0, root)
+    pixel0, org0, d0 = _primary_hash(scene, options, item0, su)
 
     z = jnp.zeros(lanes, jnp.float32)
     state = (
-        key0, item0, jnp.full(lanes, 2, jnp.int32), org0, d0,
+        item0, jnp.full(lanes, 2, jnp.int32), org0, d0,
         jnp.full(lanes, 0.25 / max(w, h), jnp.float32), z,
         jnp.ones((lanes, 3), jnp.float32), jnp.zeros((lanes, 3), jnp.float32),
         jnp.ones(lanes, jnp.float32), z, org0,
@@ -352,13 +337,16 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
 
     def cond(carry):
         st, film = carry
-        return ~jnp.all(st[12])
+        return ~jnp.all(st[11])
 
     def body(carry):
         st, film = carry
+        hb = _pcg_hash(st[0].astype(jnp.uint32) ^
+                       _pcg_hash(st[1].astype(jnp.uint32) ^ su))
+        uN = _hash_u01(_pcg_hash(hb[:, None] + kidx))     # (N, 8)
         nst, died = jax.vmap(
-            lambda *s: _advance_lane(scene, options, s))(*st)
-        (key, item, nv, org, d, spread, radius, T, L, eta_scale,
+            lambda u, *s: _advance_lane(scene, options, s, u))(uN, *st)
+        (item, nv, org, d, spread, radius, T, L, eta_scale,
          dir_pdf, prev_pos, done) = nst
 
         # splat finished paths
@@ -372,11 +360,10 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
         regen = died & has_more
         done = done | (died & ~has_more)
 
-        rkey, rpixel, rorg, rd = prim(scene, options, next_item, root)
+        _rp, rorg, rd = _primary_hash(scene, options, next_item, su)
         sel = lambda a, b: jnp.where(regen, a, b)
         selv = lambda a, b: jnp.where(regen[:, None], a, b)
         state_new = (
-            jnp.where(regen[:, None], rkey, key),
             sel(next_item, item),
             sel(jnp.full_like(nv, 2), nv),
             selv(rorg, org),

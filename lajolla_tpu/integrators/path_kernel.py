@@ -12,10 +12,12 @@ configuration.
 Activation (static, on SceneMeta): Lambertian-only materials, mesh-only
 geometry and lights, no envmap, no media, constant textures, brute-force
 intersector — the headline cbox workload qualifies. The per-item
-counter-based uniforms are generated OUTSIDE and fed in; the driver
-draws them from the pcg-hash counter stream (integrators/path.py), so
-images differ from the threefry general engine only as independent
-samples of the same estimator.
+counter-based uniforms are generated OUTSIDE and fed in; both this
+driver and the general engine draw the same pcg-hash counter stream
+(integrators/path.py), though images still differ in fp detail (this
+kernel intersects via Woop transforms, the general engine via
+Möller-Trumbore, so paths diverge chaotically) — agreement is
+statistical, verified by the shared golden pins.
 """
 
 import functools

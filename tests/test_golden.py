@@ -42,7 +42,9 @@ def test_veach_brightness():
     opts = dataclasses.replace(opts, samples_per_pixel=16)
     img = render(scene, opts)
     assert np.isfinite(img).all()
-    assert img.mean() == pytest.approx(0.33, rel=0.15)
+    # full-res mean is ~0.329; the 64x64 rebuild reframes to ~0.30
+    # (measured 0.295-0.31 at 128spp across engines/RNG streams)
+    assert img.mean() == pytest.approx(0.30, rel=0.15)
 
 
 def test_volpath_cbox_brightness():
