@@ -182,7 +182,13 @@ def _query(scene, o, d, tnear, tfar, any_hit):
     return (jnp.where(miss, INF, best_t), best_prim, best_u, best_v)
 
 
-RAY_CHUNK = 32768  # larger single queries trip compiler pathologies
+# The ordered-rounds loop is lockstep per chunk: it runs until EVERY ray
+# in the chunk is finished, so chunk size trades per-launch overhead
+# against tail waste from the slowest ray. Swept on TPU (matpreview /
+# sponza at 256x192): 32768 -> 54.5/20.4s, 8192 -> 30.3s, 1024 ->
+# 24.4/11.3s (best), 512 regresses. Large chunks also trip compiler
+# pathologies.
+RAY_CHUNK = 1024
 
 
 def _chunked(scene, o, d, tnear, tfar, any_hit):
