@@ -315,6 +315,14 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
     lanes = lanes or n
     M = n * nspp
     if _use_kernel(scene):
+        from lajolla_tpu.integrators import path_megakernel
+        # fused only above one block: small (test-sized) films stay on the
+        # per-bounce kernel so they don't pay the fused kernel's Mosaic
+        # compile time per scene.
+        if lanes == n and n % path_megakernel.BLOCK == 0 and \
+                n > path_megakernel.BLOCK:
+            return path_megakernel.render_fused(scene, options, seed, s0,
+                                                nspp)
         return _render_block_kernel(scene, options, seed, s0, nspp, lanes,
                                     n, s0 * n + M)
     su = jnp.uint32(seed)

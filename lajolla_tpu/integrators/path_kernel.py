@@ -87,28 +87,70 @@ def pack_fast_path(p0, e1, e2, normals, indices, has_n_per_tri,
 # Kernel helpers ((row, B) layout)
 # ---------------------------------------------------------------------------
 
-def _intersect(o, d, tnear, tfar, Ax, Ay, Az, T):
-    """Woop brute force. o,d: (3,B); tnear/tfar: (1,B) or scalar.
-    Returns (t_best (1,B), sel (T,B) one-hot, u (1,B), v (1,B))."""
-    def contract(A, vec, with_bias):
-        r = (A[:, 0:1] * vec[0:1, :] + A[:, 1:2] * vec[1:2, :] +
-             A[:, 2:3] * vec[2:3, :])
-        if with_bias:
-            r = r + A[:, 3:4]
-        return r
+def _woop_mat(woop):
+    """(T, 12) [Ax Ay Az] table -> (3T, 4) matmul operand [Az; Ax; Ay]."""
+    return jnp.concatenate([woop[:, 8:12], woop[:, 0:4], woop[:, 4:8]],
+                           axis=0)
 
-    oz = contract(Az, o, True)
-    dz = contract(Az, d, False)
-    safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
-    t = -oz / safe_dz
-    ox = contract(Ax, o, True)
-    dx = contract(Ax, d, False)
+
+USE_MXU_WOOP = False  # measured slower: K=4 matmul at HIGHEST precision
+
+
+def _woop_tuv(o, d, W, T):
+    """All-triangle Woop transform. o, d: (3,B); W: (3T,4) packed
+    [Az; Ax; Ay]. Returns (t, u, v, valid_dz) each (T, B).
+
+    Two strategies, both measured on v5e: the (3T,4)x(4,B) MXU matmul
+    (K=4 at HIGHEST precision — 15 Mpaths/s on cbox) and the plain VPU
+    contract chain (22 Mpaths/s); K is too small to feed the systolic
+    array, so the VPU wins."""
+    if USE_MXU_WOOP:
+        B = o.shape[1]
+        one = jnp.ones((1, B), jnp.float32)
+        P = jax.lax.dot_general(W, jnp.concatenate([o, one], axis=0),
+                                (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        D = jax.lax.dot_general(W[:, 0:3], d, (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+        oz, ox, oy = P[0:T], P[T:2 * T], P[2 * T:3 * T]
+        dz, dx, dy = D[0:T], D[T:2 * T], D[2 * T:3 * T]
+    else:
+        def contract(A, vec, with_bias):
+            r = (A[:, 0:1] * vec[0:1, :] + A[:, 1:2] * vec[1:2, :] +
+                 A[:, 2:3] * vec[2:3, :])
+            if with_bias:
+                r = r + A[:, 3:4]
+            return r
+        Az, Ax, Ay = W[0:T], W[T:2 * T], W[2 * T:3 * T]
+        oz = contract(Az, o, True)
+        dz = contract(Az, d, False)
+        ox = contract(Ax, o, True)
+        dx = contract(Ax, d, False)
+        oy = contract(Ay, o, True)
+        dy = contract(Ay, d, False)
+    # No dz==0 guard needed: t becomes ±inf/NaN and every hit test below
+    # compares false on NaN, so degenerate rows simply never hit.
+    t = -oz / dz
     u = ox + t * dx
-    oy = contract(Ay, o, True)
-    dy = contract(Ay, d, False)
     v = oy + t * dy
-    hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
-           (u + v <= 1.0) & (t > tnear) & (t < tfar))
+    return t, u, v
+
+
+def _hit_mask(t, u, v, tnear, tfar):
+    m = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+    hit = (m >= 0.0) & (t > tnear)
+    if tfar is not None:
+        hit = hit & (t < tfar)
+    return hit
+
+
+def _intersect(o, d, tnear, tfar, W, T):
+    """Woop brute force. o,d: (3,B); tnear/tfar: (1,B)/scalar/None(=inf).
+    Returns (t_best (1,B), sel (T,B) one-hot, u (1,B), v (1,B))."""
+    t, u, v = _woop_tuv(o, d, W, T)
+    hit = _hit_mask(t, u, v, tnear, tfar)
     t = jnp.where(hit, t, INF)
     t_best = jnp.min(t, axis=0, keepdims=True)
     sel = (t == t_best) & hit
@@ -118,6 +160,14 @@ def _intersect(o, d, tnear, tfar, Ax, Ay, Az, T):
     ub = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
     vb = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
     return t_best, sel, ub, vb
+
+
+def _occluded(o, d, tnear, tfar, W, T):
+    """Any-hit shadow cast: no closest-hit reduction, no one-hot select.
+    Returns occ (1, B) bool."""
+    t, u, v = _woop_tuv(o, d, W, T)
+    hit = _hit_mask(t, u, v, tnear, tfar)
+    return jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True) > 0.0
 
 
 def _rows(sel_f32, table):
@@ -150,31 +200,18 @@ def _onb(nx, ny, nz):
     return tx, ty, tz, bx, by, bz
 
 
-def _kernel(org_ref, dir_ref, thr_ref, rad_ref, nv_ref, dp_ref, pp_ref,
-            un_ref, act_ref,
-            woop_ref, tri_ref, light_ref, stair_ref,
-            org_o, dir_o, thr_o, rad_o, dp_o, pp_o, alive_o,
-            *, T: int, L: int, eps_isect: float, eps_shadow: float,
-            max_depth: int, rr_depth: int, max_cap: int):
-    o = org_ref[:]            # (3, B)
-    d = dir_ref[:]            # (3, B)
-    thr = thr_ref[:]          # (3, B)
-    rad = rad_ref[:]          # (3, B)
-    nv = nv_ref[:]            # (1, B)
-    dir_pdf = dp_ref[:]       # (1, B)
-    prev = pp_ref[:]          # (3, B)
-    un = un_ref[:]            # (8, B)
-    act_in = act_ref[:] > 0   # (1, B)
-    woop = woop_ref[:]        # (T, 12): [Ax(4) Ay(4) Az(4)]
-    tri = tri_ref[:]          # (28, T)
-    light = light_ref[:]      # (8, L)
-    stair = stair_ref[:]      # (1, T)
-    Ax = woop[:, 0:4]
-    Ay = woop[:, 4:8]
-    Az = woop[:, 8:12]
+def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
+                  W, tri, light, stair,
+                  *, T: int, L: int, eps_isect: float, eps_shadow: float,
+                  max_depth: int, rr_depth: int, max_cap: int):
+    """One path-vertex advance on plain (row, B) arrays; shared by the
+    per-bounce kernel below and the fully-fused persistent megakernel
+    (path_megakernel.py). W is the host-packed (3T, 4) Woop matrix
+    (_woop_mat — Mosaic cannot re-concatenate it in-kernel). Returns
+    (org', dir', thr', rad', dir_pdf', prev', alive)."""
 
     # ---- closest hit -------------------------------------------------------
-    t_best, sel, ub, vb = _intersect(o, d, eps_isect, INF, Ax, Ay, Az, T)
+    t_best, sel, ub, vb = _intersect(o, d, eps_isect, None, W, T)
     valid = (t_best < INF) & act_in                       # (1, B)
     self_f = sel.astype(jnp.float32)
     rows = _rows(self_f, tri)                             # (28, B)
@@ -271,9 +308,8 @@ def _kernel(org_ref, dir_ref, thr_ref, rad_ref, nv_ref, dp_ref, pp_ref,
 
     sh_o = jnp.concatenate([px, py, pz], axis=0)
     sh_d = jnp.concatenate([dlx, dly, dlz], axis=0)
-    sh_t, _, _, _ = _intersect(sh_o, sh_d, eps_shadow,
-                               (1.0 - eps_shadow) * dist, Ax, Ay, Az, T)
-    occ = sh_t < INF
+    occ = _occluded(sh_o, sh_d, eps_shadow, (1.0 - eps_shadow) * dist,
+                    W, T)
 
     Gn = jnp.maximum(-_dot3(dlx, dly, dlz, lnx, lny, lnz), 0.0) / dist2
     Gn = jnp.where(occ, 0.0, Gn)
@@ -325,12 +361,30 @@ def _kernel(org_ref, dir_ref, thr_ref, rad_ref, nv_ref, dp_ref, pp_ref,
     thr_n1 = thr[1:2] * rows[21:22] * f_over_p * inv_rr
     thr_n2 = thr[2:3] * rows[22:23] * f_over_p * inv_rr
 
-    org_o[:] = jnp.concatenate([px, py, pz], axis=0)
-    dir_o[:] = jnp.concatenate([ox2, oy2, oz2], axis=0)
-    thr_o[:] = jnp.concatenate([thr_n0, thr_n1, thr_n2], axis=0)
-    rad_o[:] = jnp.concatenate([rad0, rad1, rad2], axis=0)
-    dp_o[:] = p2s
-    pp_o[:] = jnp.concatenate([px, py, pz], axis=0)
+    return (jnp.concatenate([px, py, pz], axis=0),
+            jnp.concatenate([ox2, oy2, oz2], axis=0),
+            jnp.concatenate([thr_n0, thr_n1, thr_n2], axis=0),
+            jnp.concatenate([rad0, rad1, rad2], axis=0),
+            p2s,
+            alive)
+
+
+def _kernel(org_ref, dir_ref, thr_ref, rad_ref, nv_ref, dp_ref, pp_ref,
+            un_ref, act_ref,
+            woop_ref, tri_ref, light_ref, stair_ref,
+            org_o, dir_o, thr_o, rad_o, dp_o, pp_o, alive_o,
+            **statics):
+    act_in = act_ref[:] > 0   # (1, B)
+    org2, dir2, thr2, rad2, dp2, alive = _advance_core(
+        org_ref[:], dir_ref[:], thr_ref[:], rad_ref[:], nv_ref[:],
+        dp_ref[:], pp_ref[:], un_ref[:], act_in,
+        woop_ref[:], tri_ref[:], light_ref[:], stair_ref[:], **statics)
+    org_o[:] = org2
+    dir_o[:] = dir2
+    thr_o[:] = thr2
+    rad_o[:] = rad2
+    dp_o[:] = dp2
+    pp_o[:] = org2
     alive_o[:] = alive.astype(jnp.float32)
 
 
@@ -379,7 +433,7 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
         in_specs=[row_spec(3), row_spec(3), row_spec(3), row_spec(3),
                   row_spec(1), row_spec(1), row_spec(3), row_spec(8),
                   row_spec(1),
-                  tab_spec((T, 12)), tab_spec((28, T)), tab_spec((8, L)),
+                  tab_spec((3 * T, 4)), tab_spec((28, T)), tab_spec((8, L)),
                   tab_spec((1, T))],
         out_specs=[row_spec(3), row_spec(3), row_spec(3), row_spec(3),
                    row_spec(1), row_spec(3), row_spec(1)],
@@ -391,7 +445,8 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
                    jax.ShapeDtypeStruct((3, Np), jnp.float32),
                    jax.ShapeDtypeStruct((1, Np), jnp.float32)],
     )(orgp, dirp, thrp, radp, nvp, dpp, prevp, unp, actp,
-      scene.fp_woop, scene.fp_tri, scene.fp_light, scene.tri_stair_cdf[None, :])
+      _woop_mat(scene.fp_woop), scene.fp_tri, scene.fp_light,
+      scene.tri_stair_cdf[None, :])
     org2, dir2, thr2, rad2, dp2, pp2, alive = outs
     return (org2[:, :N], dir2[:, :N], thr2[:, :N], rad2[:, :N],
             dp2[0, :N], pp2[:, :N], alive[0, :N] > 0)
