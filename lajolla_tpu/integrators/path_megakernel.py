@@ -40,6 +40,8 @@ from lajolla_tpu.scene.types import FILTER_BOX, FILTER_TENT, FILTER_GAUSSIAN
 BLOCK = 4096
 TWO_PI = 6.283185307179586
 _GOLD = 0x9E3779B9
+INTERPRET = False   # set True to run the kernel in interpreter mode on
+                    # CPU (semantic debugging; tests/test_kernel_engine.py)
 
 
 def _pcg_hash(v):
@@ -51,7 +53,8 @@ def _pcg_hash(v):
 
 def _u01(h):
     """uint32 hash -> U[0,1) float32 (top 24 bits)."""
-    return pltpu.bitcast(h >> jnp.uint32(8), jnp.int32).astype(
+    return jax.lax.bitcast_convert_type(h >> jnp.uint32(8),
+                                        jnp.int32).astype(
         jnp.float32) * jnp.float32(1.0 / 16777216.0)
 
 
@@ -60,7 +63,7 @@ def _primary(item, px, py, su, cam, *, w, h, filter_type, filter_param):
     path.py _primary_hash -> scene/camera.py sample_primary
     (src/camera.cpp:23-47). cam: (32,) SMEM ref
     [sample_to_cam flat 16, cam_to_world flat 16]."""
-    hp = _pcg_hash(pltpu.bitcast(item, jnp.uint32) ^
+    hp = _pcg_hash(jax.lax.bitcast_convert_type(item, jnp.uint32) ^
                    _pcg_hash(su ^ jnp.uint32(0xCAFEF00D)))
     u0 = _u01(_pcg_hash(hp + jnp.uint32(_GOLD)))
     u1 = _u01(_pcg_hash(hp + jnp.uint32(2 * _GOLD & 0xFFFFFFFF)))
@@ -100,8 +103,8 @@ def _primary(item, px, py, su, cam, *, w, h, filter_type, filter_param):
 
 
 def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, tri_ref, light_ref,
-            stair_ref, film_o, *, n, w, h, nspp, filter_type, filter_param,
-            **statics):
+            stair_ref, sph_ref, film_o, *, n, w, h, nspp, filter_type,
+            filter_param, **statics):
     su = seed_ref[0]                  # uint32 scalar
     s0 = s0_ref[0]
     pid = pl.program_id(0)
@@ -115,6 +118,7 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, tri_ref, light_ref,
     tri = tri_ref[:]
     light = light_ref[:]
     stair = stair_ref[:]
+    sph = sph_ref[:]
     kidx = (jax.lax.broadcasted_iota(jnp.uint32, (8, 1), 0) *
             jnp.uint32(_GOLD) + jnp.uint32(_GOLD))
 
@@ -137,12 +141,14 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, tri_ref, light_ref,
     def body(carry):
         item, nv, org, d, thr, rad, dir_pdf, prev, done, film = carry
         act = done < 1
-        hb = _pcg_hash(pltpu.bitcast(item, jnp.uint32) ^
-                       _pcg_hash(pltpu.bitcast(nv, jnp.uint32) ^ su))
+        hb = _pcg_hash(jax.lax.bitcast_convert_type(item, jnp.uint32) ^
+                       _pcg_hash(jax.lax.bitcast_convert_type(nv,
+                                                              jnp.uint32) ^
+                                 su))
         un = _u01(_pcg_hash(hb + kidx))           # (8, B)
         org2, d2, thr2, rad2, dp2, alive = _advance_core(
             org, d, thr, rad, nv.astype(jnp.float32), dir_pdf, prev, un,
-            act, woop, tri, light, stair, **statics)
+            act, woop, tri, light, stair, sph, **statics)
         died = act & ~alive
         film = film + jnp.where(died, rad2, 0.0)
         next_item = item + n
@@ -181,10 +187,11 @@ def render_fused(scene, options, seed, s0, nspp):
     cam = jnp.concatenate([scene.sample_to_cam.reshape(-1),
                            scene.cam_to_world.reshape(-1)]).astype(
                                jnp.float32)
+    S = scene.meta.num_spheres
     kern = functools.partial(
         _kernel, n=n, w=w, h=h, nspp=nspp,
         filter_type=options.filter_type, filter_param=options.filter_param,
-        T=T, L=L,
+        T=T, L=L, S=S, mats=scene.meta.mat_types_present,
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
         max_depth=options.max_depth, rr_depth=options.rr_depth,
@@ -197,10 +204,12 @@ def render_fused(scene, options, seed, s0, nspp):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tab((3 * T, 4)), tab((28, T)), tab((8, L)), tab((1, T))],
+                  tab((3 * T, 4)), tab((40, T)), tab((16, L)), tab((1, T)),
+                  tab((max(S, 1), 24))],
         out_specs=pl.BlockSpec((3, BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
+        interpret=INTERPRET,
     )(seed_a, s0_a, cam, _woop_mat(scene.fp_woop), scene.fp_tri,
-      scene.fp_light, scene.tri_stair_cdf[None, :])
+      scene.fp_light, scene.tri_stair_cdf[None, :], scene.fp_sph)
     return film.T.reshape(h, w, 3)

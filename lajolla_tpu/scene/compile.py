@@ -388,12 +388,23 @@ def compile_scene(b):
     tex_tab[:, 8:10] = tex_uvscale
     tex_tab[:, 10:12] = tex_uvoffset
 
-    # ------------------------------------------ diffuse fast-path tables
+    # ------------------------------------------ megakernel fast-path tables
     # (integrators/path_kernel.py); packed whenever the config qualifies.
+    # Constant-texture material parameters are baked per primitive so the
+    # kernel never touches the texture system.
+    def _mat_fp(mat_ids):
+        """(mat_type, kd, ks, roughness, eta) per entry of mat_ids."""
+        m = np.maximum(mat_ids, 0)
+        return (mat_type[m], tex_const[mat_tex[m, 0]],
+                tex_const[mat_tex[m, 1]], tex_const[mat_tex[m, 2], 0],
+                mat_eta[m])
+
     nt_fp = max(num_tris, 1)
     fp_woop = np.zeros((nt_fp, 12), np.float32)
-    fp_tri = np.zeros((28, nt_fp), np.float32)
-    fp_light = np.zeros((8, max(nl, 1)), np.float32)
+    fp_tri = np.zeros((40, nt_fp), np.float32)
+    fp_light = np.zeros((16, max(nl, 1)), np.float32)
+    ns_fp = max(len(spheres), 1)
+    fp_sph = np.zeros((ns_fp, 24), np.float32)
     if num_tris > 0:
         Tn = num_tris
         fp_woop[:, 0:3] = woop_A[:, :Tn].T
@@ -411,20 +422,46 @@ def compile_scene(b):
         fp_tri[18] = shape_has_n[tri_shape]
         t_light = shape_light[tri_shape]
         fp_tri[19] = t_light
-        # constant-texture reflectance per triangle's material
-        t_mat = np.maximum(shape_material[tri_shape], 0)
-        fp_tri[20:23] = tex_const[mat_tex[t_mat, 0]].T
+        t_mt, t_kd, t_ks, t_rough, t_eta = _mat_fp(shape_material[tri_shape])
+        fp_tri[20:23] = t_kd.T
         lt_c = np.maximum(t_light, 0)
         is_l = (t_light >= 0).astype(np.float32)
         fp_tri[23:26] = (light_intensity[lt_c] * is_l[:, None]).T
         fp_tri[26] = 1.0 / np.maximum(shape_area[tri_shape], 1e-20)
         fp_tri[27] = light_pmf[lt_c] * is_l
+        fp_tri[28] = t_mt
+        fp_tri[29:32] = t_ks.T
+        fp_tri[32] = t_rough
+        fp_tri[33] = t_eta
+    if num_tris > 0 or spheres:
         fp_light[0] = light_cdf
         fp_light[1] = light_pmf
         fp_light[2:5] = light_intensity.T
         l_shape_c = np.maximum(light_shape, 0)
         fp_light[5] = 1.0 / np.maximum(shape_area[l_shape_c], 1e-20)
         fp_light[6] = light_shape
+        l_is_sph = (shape_type[l_shape_c] == T.SHAPE_SPHERE)
+        fp_light[7] = l_is_sph
+        l_sph = np.maximum(shape_prim_start[l_shape_c], 0)
+        l_sph = np.minimum(l_sph, ns_fp - 1)
+        fp_light[8:11] = (sph_center[l_sph] * l_is_sph[:, None]).T
+        fp_light[11] = sph_radius[l_sph] * l_is_sph
+    if spheres:
+        fp_sph[:, 0:3] = sph_center
+        fp_sph[:, 3] = sph_radius
+        s_light = shape_light[sph_shape]
+        fp_sph[:, 4] = s_light
+        s_mt, s_kd, s_ks, s_rough, s_eta = _mat_fp(
+            shape_material[sph_shape])
+        fp_sph[:, 5] = s_mt
+        fp_sph[:, 6:9] = s_kd
+        fp_sph[:, 9:12] = s_ks
+        fp_sph[:, 12] = s_rough
+        fp_sph[:, 13] = s_eta
+        sl_c = np.maximum(s_light, 0)
+        s_is_l = (s_light >= 0).astype(np.float32)
+        fp_sph[:, 14] = light_pmf[sl_c] * s_is_l
+        fp_sph[:, 15:18] = light_intensity[sl_c] * s_is_l[:, None]
 
     # ------------------------------------------------------------------ camera
     cam = b.camera
@@ -493,6 +530,7 @@ def compile_scene(b):
         cl_A=_f32(cl['cl_A']), cl_b=_f32(cl['cl_b']),
         cl_prim=_i32(cl['cl_prim']),
         fp_woop=_f32(fp_woop), fp_tri=_f32(fp_tri), fp_light=_f32(fp_light),
+        fp_sph=_f32(fp_sph),
         shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),
         shape_interior_med=_i32(shape_int_med),
         shape_exterior_med=_i32(shape_ext_med),

@@ -172,8 +172,9 @@ class Scene:
 
     # --- diffuse fast-path tables (integrators/path_kernel.py) --------------
     fp_woop: Any         # (T, 12) f32 [Ax(4) Ay(4) Az(4)]
-    fp_tri: Any          # (28, T) f32 packed per-triangle shading record
-    fp_light: Any        # (8, L) f32 packed light table
+    fp_tri: Any          # (40, T) f32 packed per-triangle shading+material record
+    fp_light: Any        # (16, L) f32 packed light table (incl. sphere rows)
+    fp_sph: Any          # (S, 24) f32 packed per-sphere record
 
     # --- shape table -------------------------------------------------------
     shape_material_id: Any    # (NS,) i32
