@@ -5,12 +5,16 @@ Faithful re-derivation of the reference's final volumetric integrator
 pedagogical versions 1 and 2 (:6-147); versions 3-5 delegate to the
 final integrator exactly like the fork does (:880,:1052,:1297).
 
-Wavefront structure: per-path scalar function with the triply-nested
-stochastic loops — bounces × null-collisions × shadow-ray segments —
-expressed as nested `lax.while_loop`s (each bounded: null collisions by
-options.max_null_collisions, shadow segments by max_depth), vmapped over
-a pixel megabatch. Lockstep masking across lanes is handled by JAX's
-while_loop batching rule.
+Wavefront structure (round 2 — same persistent-queue design as the
+surface engine, integrators/path.py): a fixed lane pool processes
+(pixel, sample) work items; each outer `lax.while_loop` iteration
+advances every lane by ONE path bounce, and lanes whose path terminates
+splat and immediately regenerate from the queue, so total iterations ≈
+spp × E[path length] instead of spp × MAX_BOUNCES_CAP. The inner
+stochastic loops — null collisions and shadow-ray segments — remain
+bounded nested `lax.while_loop`s inside the bounce step. All randomness
+comes from the (seed, item, bounce, salt, dim) pcg-hash counter stream
+(path.py), replacing per-lane threefry chains (~10x the ALU work).
 
 Deliberately replicated fork quirks (for output parity):
   * escaping into vacuum discards ALL accumulated radiance
@@ -35,6 +39,9 @@ from lajolla_tpu.integrators.media import (get_majorant, get_sigma_a,
                                            get_sigma_s, phase_eval,
                                            phase_pdf, phase_sample,
                                            update_medium)
+from lajolla_tpu.integrators.path import (_GOLD, _dense_film_add,
+                                          _hash_u01, _pcg_hash,
+                                          _primary_hash)
 from lajolla_tpu.materials import eval_bsdf, pdf_bsdf, sample_bsdf
 from lajolla_tpu.scene.camera import sample_primary
 from lajolla_tpu.scene.geometry import intersect_scene
@@ -43,9 +50,30 @@ INF = jnp.float32(jnp.inf)
 MAX_BOUNCES_CAP = 64
 MAX_SHADOW_SEGMENTS = 16  # index-matching interfaces along one shadow ray
 
+# Draw-site salts for the counter-hash stream: each random-consuming site
+# inside one (item, bounce) cell gets its own sub-stream.
+_S_FF = 0x111AA111       # main free-flight
+_S_NEE = 0x222BB222      # NEE light pick + point sample
+_S_NEE_SEG = 0x333CC333  # per-shadow-segment free flight
+_S_PHASE = 0x444DD444
+_S_BSDF = 0x555EE555
+_S_RR = 0x666FF666
+
 
 def _avg(s):
     return jnp.mean(s)
+
+
+def _u(hs, dim):
+    """dim-th U[0,1) of the sub-stream rooted at uint32 hs."""
+    return _hash_u01(_pcg_hash(hs + jnp.uint32(dim * _GOLD & 0xFFFFFFFF)))
+
+
+def _uit(hs, it, k):
+    """k-th uniform of (traced) inner-loop iteration it."""
+    hsi = _pcg_hash(hs ^ _pcg_hash(it.astype(jnp.uint32) +
+                                   jnp.uint32(0x9E377969)))
+    return _u(hsi, k + 1)
 
 
 def _uniforms(key, n):
@@ -79,25 +107,24 @@ def _sigmas(scene, med_id, p):
 # (vol_path_tracing.h:554-629 main form; :355-410 NEE form)
 # ---------------------------------------------------------------------------
 
-def _free_flight(scene, options, key, org, d, med_id, t_hit,
+def _free_flight(scene, options, hs, org, d, med_id, t_hit,
                  with_scatter):
-    """Delta-tracking along [0, t_hit). Returns
-    (key, transmittance, trans_dir_pdf, trans_nee_pdf, scatter, accum_t).
-    with_scatter=False gives the ratio-tracking NEE variant (no real/null
-    decision; transmittance picks up sigma_n)."""
+    """Delta-tracking along [0, t_hit). hs: uint32 sub-stream root.
+    Returns (transmittance, trans_dir_pdf, trans_nee_pdf, scatter,
+    accum_t). with_scatter=False gives the ratio-tracking NEE variant (no
+    real/null decision; transmittance picks up sigma_n)."""
     majorant = get_majorant(scene, med_id, org, d, t_hit)
-    key, u = _uniforms(key, 1)
-    channel = jnp.clip((u[0] * 3).astype(jnp.int32), 0, 2)
+    channel = jnp.clip((_u(hs, 0) * 3).astype(jnp.int32), 0, 2)
     maj_ch = majorant[channel]
     max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
 
     def cond(st):
-        (key, accum_t, it, trans, tdp, tnp, scatter, done) = st
+        (accum_t, it, trans, tdp, tnp, scatter, done) = st
         return ~done & (maj_ch > 0) & (it < options.max_null_collisions)
 
     def body(st):
-        (key, accum_t, it, trans, tdp, tnp, scatter, done) = st
-        key, u = _uniforms(key, 2)
+        (accum_t, it, trans, tdp, tnp, scatter, done) = st
+        u = jnp.stack([_uit(hs, it, 0), _uit(hs, it, 1)])
         t = -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) / jnp.maximum(maj_ch,
                                                                    1e-20)
         dt = t_hit - accum_t
@@ -148,25 +175,26 @@ def _free_flight(scene, options, key, org, d, med_id, t_hit,
             scatter_n = scatter
             done_n = done | ~in_flight | (jnp.max(trans_n) <= 0)
 
-        return (key, accum_t, it + 1, trans_n, tdp_n, tnp_n, scatter_n,
+        return (accum_t, it + 1, trans_n, tdp_n, tnp_n, scatter_n,
                 done_n)
 
     ones = jnp.ones(3)
-    init = (key, jnp.float32(0.0), jnp.int32(0), ones, ones, ones,
+    init = (jnp.float32(0.0), jnp.int32(0), ones, ones, ones,
             jnp.bool_(False), jnp.bool_(False))
-    (key, accum_t, _it, trans, tdp, tnp, scatter, _done) = \
+    (accum_t, _it, trans, tdp, tnp, scatter, _done) = \
         jax.lax.while_loop(cond, body, init)
-    return key, trans, tdp, tnp, scatter, accum_t
+    return trans, tdp, tnp, scatter, accum_t
 
 
 # ---------------------------------------------------------------------------
 # Volumetric NEE (vol_path_tracing.h:299-495)
 # ---------------------------------------------------------------------------
 
-def _vol_nee(scene, options, key, p, med_id, bounces, dir_view, is_surface,
+def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
              hit):
     eps_shadow = shadow_eps(scene.meta.scene_radius)
-    key, u = _uniforms(key, 4)
+    hs = _pcg_hash(hb + jnp.uint32(_S_NEE))
+    u = jnp.stack([_u(hs, 0), _u(hs, 1), _u(hs, 2), _u(hs, 3)])
     light_id = sample_light(scene, u[2])
     lp = sample_point_on_light(scene, light_id, p, u[0:2], u[3])
     dir_light = normalize(lp.position - p)
@@ -176,11 +204,11 @@ def _vol_nee(scene, options, key, p, med_id, bounces, dir_view, is_surface,
     ones = jnp.ones(3)
 
     def seg_cond(st):
-        (key, p, med, sb, Tl, pn, pd, done, blocked) = st
+        (p, med, sb, Tl, pn, pd, done, blocked) = st
         return ~done & ~blocked & (sb < MAX_SHADOW_SEGMENTS)
 
     def seg_body(st):
-        (key, p, med, sb, Tl, pn, pd, done, blocked) = st
+        (p, med, sb, Tl, pn, pd, done, blocked) = st
         tmax = (1.0 - eps_shadow) * distance(p, p_prime)
         shadow_hit = intersect_scene(scene, p, dir_light, eps_shadow, tmax)
         next_t = jnp.where(shadow_hit.valid,
@@ -188,8 +216,10 @@ def _vol_nee(scene, options, key, p, med_id, bounces, dir_view, is_surface,
                            distance(p, p_prime))
         if scene.meta.num_media > 0:
             has_med = med >= 0
-            key, trans, tdp, tnp, _sc, _at = _free_flight(
-                scene, options, key, p, dir_light, med, next_t,
+            hseg = _pcg_hash(hs ^ _pcg_hash(
+                sb.astype(jnp.uint32) + jnp.uint32(_S_NEE_SEG)))
+            trans, tdp, tnp, _sc, _at = _free_flight(
+                scene, options, hseg, p, dir_light, med, next_t,
                 with_scatter=False)
             Tl = jnp.where(has_med, Tl * trans, Tl)
             pn = jnp.where(has_med, pn * tnp, pn)
@@ -204,11 +234,11 @@ def _vol_nee(scene, options, key, p, med_id, bounces, dir_view, is_surface,
                         update_medium(shadow_hit, dir_light, med), med)
         p = jnp.where(shadow_hit.valid & ~blocked,
                       p + next_t * dir_light, p)
-        return (key, p, med, sb + 1, Tl, pn, pd, done, blocked)
+        return (p, med, sb + 1, Tl, pn, pd, done, blocked)
 
-    init = (key, p, med_id, jnp.int32(0), ones, ones, ones,
+    init = (p, med_id, jnp.int32(0), ones, ones, ones,
             jnp.bool_(False), jnp.bool_(False))
-    (key, _p, _med, _sb, Tl, p_nee, p_dir_t, done, blocked) = \
+    (_p, _med, _sb, Tl, p_nee, p_dir_t, done, blocked) = \
         jax.lax.while_loop(seg_cond, seg_body, init)
 
     ok = ~blocked & (jnp.max(Tl) > 0)
@@ -233,150 +263,146 @@ def _vol_nee(scene, options, key, p, med_id, bounces, dir_view, is_surface,
     contrib = Tl * f * Le * jac / jnp.maximum(_avg(pdf_nee), 1e-30)
     w = (pdf_nee * pdf_nee) / jnp.maximum(
         pdf_nee * pdf_nee + pdf_dir * pdf_dir, 1e-30)
-    return key, jnp.where(ok, contrib * w, jnp.zeros(3))
+    return jnp.where(ok, contrib * w, jnp.zeros(3))
 
 
 # ---------------------------------------------------------------------------
 # The final integrator (vol_path_tracing.h:503-869)
 # ---------------------------------------------------------------------------
 
-def volpath_trace_one(scene, options, px, py, key):
+def _advance_vol_lane(scene, options, st, su):
+    """ONE bounce of the final integrator for a single lane (vmapped by
+    the wavefront driver). st = (item, org, d, medium, T, L, bounces,
+    dir_pdf, nee_p, multi_trans_pdf, eta_scale, done). Returns
+    (new_state, died) where died marks the path completing THIS step."""
+    (item, org, d, medium, T, L, bounces, dir_pdf, nee_p,
+     multi_trans_pdf, eta_scale, done) = st
     eps_isect = intersection_eps(scene.meta.scene_radius)
     max_depth = options.max_depth
-
-    key, sub = jax.random.split(key)
-    u_pix = jax.random.uniform(sub, (2,))
-    org, d = sample_primary(scene, options, px.astype(jnp.float32),
-                            py.astype(jnp.float32), u_pix)
-
-    medium = jnp.int32(scene.meta.camera_medium_id)
     ones = jnp.ones(3)
+    active = ~done
+    hb = _pcg_hash(item.astype(jnp.uint32) ^
+                   _pcg_hash(bounces.astype(jnp.uint32) ^ su))
 
-    state = (key, org, d, medium, ones, jnp.zeros(3), jnp.int32(0),
-             jnp.float32(0.0), org, ones, jnp.float32(1.0),
-             jnp.bool_(True))
+    hit = intersect_scene(scene, org, d, eps_isect, INF)
+    t_hit = jnp.where(hit.valid, hit.t, INF)
 
-    def cond(st):
-        return st[11] & (st[6] < MAX_BOUNCES_CAP)
+    in_medium = medium >= 0
+    if scene.meta.num_media > 0:
+        trans, tdp, tnp, scatter, accum_t = _free_flight(
+            scene, options, _pcg_hash(hb + jnp.uint32(_S_FF)), org, d,
+            medium, t_hit, with_scatter=True)
+        trans = jnp.where(in_medium, trans, ones)
+        tdp = jnp.where(in_medium, tdp, ones)
+        tnp = jnp.where(in_medium, tnp, ones)
+        scatter = scatter & in_medium
+        multi_trans_pdf = jnp.where(in_medium, multi_trans_pdf * tdp,
+                                    multi_trans_pdf)
+        scatter_pos = org + d * accum_t
+    else:
+        trans = tdp = tnp = ones
+        scatter = jnp.bool_(False)
+        scatter_pos = org
 
-    def body(st):
-        (key, org, d, medium, T, L, bounces, dir_pdf, nee_p,
-         multi_trans_pdf, eta_scale, active) = st
+    # vacuum miss: the fork discards the path entirely (:634-641)
+    vacuum_miss = ~in_medium & ~hit.valid
+    L = jnp.where(active & vacuum_miss, 0.0, L)
+    active = active & ~vacuum_miss
 
-        hit = intersect_scene(scene, org, d, eps_isect, INF)
-        t_hit = jnp.where(hit.valid, hit.t, INF)
+    new_org = jnp.where(scatter, scatter_pos,
+                        jnp.where(hit.valid, hit.position, org))
+    T = T * trans / jnp.maximum(_avg(tdp), 1e-30)
 
-        in_medium = medium >= 0
-        if scene.meta.num_media > 0:
-            key, trans, tdp, tnp, scatter, accum_t = _free_flight(
-                scene, options, key, org, d, medium, t_hit,
-                with_scatter=True)
-            trans = jnp.where(in_medium, trans, ones)
-            tdp = jnp.where(in_medium, tdp, ones)
-            tnp = jnp.where(in_medium, tnp, ones)
-            scatter = scatter & in_medium
-            multi_trans_pdf = jnp.where(in_medium, multi_trans_pdf * tdp,
-                                        multi_trans_pdf)
-            scatter_pos = org + d * accum_t
-        else:
-            trans = tdp = tnp = ones
-            scatter = jnp.bool_(False)
-            scatter_pos = org
+    # ---- emission (:652-711) -------------------------------------------
+    hit_light = active & ~scatter & hit.valid & (hit.light_id >= 0)
+    Le = emission_area(scene, hit.light_id, hit.geometry_normal, -d)
+    lp2 = LightPoint(position=hit.position, normal=hit.geometry_normal)
+    pdf_nee_l = light_pmf(scene, hit.light_id) * \
+        pdf_point_on_light(scene, hit.light_id, lp2, nee_p) * tnp
+    jac = jnp.maximum(-dot(-d, hit.geometry_normal), 0.0) / \
+        jnp.maximum(distance_squared(nee_p, hit.position), 1e-20)
+    pdf_phase_l = dir_pdf * multi_trans_pdf * jac
+    w_l = (pdf_phase_l * pdf_phase_l) / jnp.maximum(
+        pdf_phase_l * pdf_phase_l + pdf_nee_l * pdf_nee_l, 1e-30)
+    first = bounces == 0
+    L = L + jnp.where(hit_light,
+                      T * Le * jnp.where(first, ones, w_l), 0.0)
+    active = active & ~(hit_light & first)  # :668 returns at bounce 0
 
-        # vacuum miss: the fork discards the path entirely (:634-641)
-        vacuum_miss = ~in_medium & ~hit.valid
-        L = jnp.where(vacuum_miss, 0.0, L)
-        active = active & ~vacuum_miss
+    # ---- index-matching pass-through (:716-726) ------------------------
+    pass_through = active & ~scatter & hit.valid & (hit.material_id < 0)
+    medium_pt = update_medium(hit, d, medium)
 
-        new_org = jnp.where(scatter, scatter_pos,
-                            jnp.where(hit.valid, hit.position, org))
-        T = T * trans / jnp.maximum(_avg(tdp), 1e-30)
+    # ---- depth limit (:731-733) ----------------------------------------
+    depth_stop = (max_depth != -1) & (bounces >= max_depth - 1)
+    active_work = active & ~pass_through & ~depth_stop
+    active = active & ~(depth_stop & ~pass_through)
+    # non-surface non-scatter non-passthrough lanes terminate (miss into
+    # a medium boundary / escaped rays already handled above)
+    active = active & (scatter | hit.valid)
 
-        # ---- emission (:652-711) -------------------------------------------
-        hit_light = active & ~scatter & hit.valid & (hit.light_id >= 0)
-        Le = emission_area(scene, hit.light_id, hit.geometry_normal, -d)
-        lp2 = LightPoint(position=hit.position, normal=hit.geometry_normal)
-        pdf_nee_l = light_pmf(scene, hit.light_id) * \
-            pdf_point_on_light(scene, hit.light_id, lp2, nee_p) * tnp
-        jac = jnp.maximum(-dot(-d, hit.geometry_normal), 0.0) / \
-            jnp.maximum(distance_squared(nee_p, hit.position), 1e-20)
-        pdf_phase_l = dir_pdf * multi_trans_pdf * jac
-        w_l = (pdf_phase_l * pdf_phase_l) / jnp.maximum(
-            pdf_phase_l * pdf_phase_l + pdf_nee_l * pdf_nee_l, 1e-30)
-        first = bounces == 0
-        L = L + jnp.where(hit_light,
-                          T * Le * jnp.where(first, ones, w_l), 0.0)
-        active = active & ~(hit_light & first)  # :668 returns at bounce 0
+    # ---- scatter in medium (:737-784) ----------------------------------
+    do_scatter = active_work & scatter & in_medium
+    sigma_s = get_sigma_s(scene, medium, new_org)
+    nee_s = _vol_nee(scene, options, hb, new_org, medium, bounces,
+                     -d, False, hit)
+    L = L + jnp.where(do_scatter, T * sigma_s * nee_s, 0.0)
+    hph = _pcg_hash(hb + jnp.uint32(_S_PHASE))
+    u_ph = jnp.stack([_u(hph, 0), _u(hph, 1)])
+    next_dir = phase_sample(scene, medium, -d, u_ph)
+    ph_pdf = phase_pdf(scene, medium, -d, next_dir)
+    ph_f = phase_eval(scene, medium, -d, next_dir)
+    T_scatter = T * (ph_f / jnp.maximum(ph_pdf, 1e-30)) * sigma_s
 
-        # ---- index-matching pass-through (:716-726) ------------------------
-        pass_through = active & ~scatter & hit.valid & (hit.material_id < 0)
-        medium_pt = update_medium(hit, d, medium)
+    # ---- surface interaction (:786-848) --------------------------------
+    do_surface = active_work & ~scatter & hit.valid
+    nee_b = _vol_nee(scene, options, _pcg_hash(hb + jnp.uint32(7)),
+                     new_org, medium, bounces, -d, True, hit)
+    L = L + jnp.where(do_surface, T * nee_b, 0.0)
+    hbs = _pcg_hash(hb + jnp.uint32(_S_BSDF))
+    u_b = jnp.stack([_u(hbs, 0), _u(hbs, 1), _u(hbs, 2)])
+    rec = sample_bsdf(scene, hit.material_id, -d, hit, u_b[0:2], u_b[2])
+    f = eval_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
+    pdf_b = pdf_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
+    bsdf_ok = rec.valid & (pdf_b > 0)
+    active = active & ~(do_surface & ~bsdf_ok)
+    is_refract = rec.eta != 0.0
+    eta_scale = jnp.where(do_surface & is_refract,
+                          eta_scale / jnp.maximum(rec.eta * rec.eta,
+                                                  1e-12), eta_scale)
+    medium_sf = jnp.where(is_refract,
+                          update_medium(hit, rec.dir_out, medium),
+                          medium)
+    T_surface = T * f / jnp.maximum(pdf_b, 1e-30)
 
-        # ---- depth limit (:731-733) ----------------------------------------
-        depth_stop = (max_depth != -1) & (bounces >= max_depth - 1)
-        active_work = active & ~pass_through & ~depth_stop
-        active = active & ~(depth_stop & ~pass_through)
+    # nee cache update (:755-760, :806-810)
+    nee_valid = (do_scatter & (jnp.max(nee_s) > 0)) | \
+        (do_surface & (jnp.max(nee_b) > 0))
+    nee_p = jnp.where(nee_valid, new_org, nee_p)
 
-        # ---- scatter in medium (:737-784) ----------------------------------
-        do_scatter = active_work & scatter & in_medium
-        sigma_s = get_sigma_s(scene, medium, new_org)
-        key, nee_s = _vol_nee(scene, options, key, new_org, medium, bounces,
-                              -d, False, hit)
-        L = L + jnp.where(do_scatter, T * sigma_s * nee_s, 0.0)
-        key, u_ph = _uniforms(key, 2)
-        next_dir = phase_sample(scene, medium, -d, u_ph)
-        ph_pdf = phase_pdf(scene, medium, -d, next_dir)
-        ph_f = phase_eval(scene, medium, -d, next_dir)
-        T_scatter = T * (ph_f / jnp.maximum(ph_pdf, 1e-30)) * sigma_s
+    # ---- merge branch results ------------------------------------------
+    d_next = jnp.where(do_scatter, next_dir,
+                       jnp.where(do_surface, rec.dir_out, d))
+    T = jnp.where(do_scatter, T_scatter,
+                  jnp.where(do_surface, T_surface, T))
+    medium = jnp.where(pass_through, medium_pt,
+                       jnp.where(do_surface, medium_sf, medium))
+    dir_pdf = jnp.where(do_scatter, ph_pdf, dir_pdf)
+    multi_trans_pdf = jnp.where(do_scatter, ones, multi_trans_pdf)
 
-        # ---- surface interaction (:786-848) --------------------------------
-        do_surface = active_work & ~scatter & hit.valid
-        key, nee_b = _vol_nee(scene, options, key, new_org, medium, bounces,
-                              -d, True, hit)
-        L = L + jnp.where(do_surface, T * nee_b, 0.0)
-        key, u_b = _uniforms(key, 3)
-        rec = sample_bsdf(scene, hit.material_id, -d, hit, u_b[0:2], u_b[2])
-        f = eval_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
-        pdf_b = pdf_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
-        bsdf_ok = rec.valid & (pdf_b > 0)
-        active = active & ~(do_surface & ~bsdf_ok)
-        is_refract = rec.eta != 0.0
-        eta_scale = jnp.where(do_surface & is_refract,
-                              eta_scale / jnp.maximum(rec.eta * rec.eta,
-                                                      1e-12), eta_scale)
-        medium_sf = jnp.where(is_refract,
-                              update_medium(hit, rec.dir_out, medium),
-                              medium)
-        T_surface = T * f / jnp.maximum(pdf_b, 1e-30)
+    # ---- russian roulette (:851-862) -----------------------------------
+    do_rr = (bounces >= options.rr_depth) & active & ~pass_through
+    rr_prob = jnp.where(do_rr,
+                        jnp.minimum(jnp.max(T / eta_scale), 0.95), 1.0)
+    u_rr = _u(_pcg_hash(hb + jnp.uint32(_S_RR)), 0)
+    active = active & ~(do_rr & (u_rr > rr_prob))
+    T = jnp.where(do_rr, T / jnp.maximum(rr_prob, 1e-20), T)
 
-        # nee cache update (:755-760, :806-810)
-        nee_valid = (do_scatter & (jnp.max(nee_s) > 0)) | \
-            (do_surface & (jnp.max(nee_b) > 0))
-        nee_p = jnp.where(nee_valid, new_org, nee_p)
-
-        # ---- merge branch results ------------------------------------------
-        d_next = jnp.where(do_scatter, next_dir,
-                           jnp.where(do_surface, rec.dir_out, d))
-        T = jnp.where(do_scatter, T_scatter,
-                      jnp.where(do_surface, T_surface, T))
-        medium = jnp.where(pass_through, medium_pt,
-                           jnp.where(do_surface, medium_sf, medium))
-        dir_pdf = jnp.where(do_scatter, ph_pdf, dir_pdf)
-        multi_trans_pdf = jnp.where(do_scatter, ones, multi_trans_pdf)
-
-        # ---- russian roulette (:851-862) -----------------------------------
-        do_rr = (bounces >= options.rr_depth) & active & ~pass_through
-        rr_prob = jnp.where(do_rr,
-                            jnp.minimum(jnp.max(T / eta_scale), 0.95), 1.0)
-        key, u_rr = _uniforms(key, 1)
-        active = active & ~(do_rr & (u_rr[0] > rr_prob))
-        T = jnp.where(do_rr, T / jnp.maximum(rr_prob, 1e-20), T)
-
-        return (key, new_org, d_next, medium, T, L, bounces + 1, dir_pdf,
-                nee_p, multi_trans_pdf, eta_scale, active)
-
-    st = jax.lax.while_loop(cond, body, state)
-    return st[5]
+    active = active & (bounces + 1 < MAX_BOUNCES_CAP)
+    died = ~done & ~active
+    nst = (item, new_org, d_next, medium, T, L, bounces + 1, dir_pdf,
+           nee_p, multi_trans_pdf, eta_scale, done)
+    return nst, died
 
 
 # ---------------------------------------------------------------------------
@@ -455,21 +481,85 @@ def volpath2_trace_one(scene, options, px, py, key):
 
 
 # ---------------------------------------------------------------------------
-# Driver
+# Drivers
 # ---------------------------------------------------------------------------
 
-_TRACERS = {0: volpath_trace_one, 1: volpath1_trace_one,
-            2: volpath2_trace_one, 3: volpath_trace_one,
-            4: volpath_trace_one, 5: volpath_trace_one,
-            6: volpath_trace_one}
+@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes'))
+def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None):
+    """Persistent-wavefront queue over (pixel, sample) work items for the
+    final integrator: every iteration advances each lane by ONE bounce;
+    finished paths splat into the film (dense, queue-stride — see
+    path.py _dense_film_add) and regenerate immediately. Returns the film
+    SUM over sample indices [s0, s0+nspp)."""
+    w = scene.meta.width
+    h = scene.meta.height
+    n = w * h
+    lanes = lanes or n
+    su = _pcg_hash(jnp.uint32(seed) ^ jnp.uint32(0x701A77E5))
+
+    item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n
+    _pix, org0, d0 = _primary_hash(scene, options, item0, su)
+    med0 = jnp.full(lanes, scene.meta.camera_medium_id, jnp.int32)
+    ones = jnp.ones((lanes, 3), jnp.float32)
+    z3 = jnp.zeros((lanes, 3), jnp.float32)
+    state = (item0, org0, d0, med0, ones, z3,
+             jnp.zeros(lanes, jnp.int32),                 # bounces
+             jnp.zeros(lanes, jnp.float32),               # dir_pdf
+             org0, ones,                                  # nee_p, mtp
+             jnp.ones(lanes, jnp.float32),                # eta_scale
+             jnp.zeros(lanes, jnp.bool_))                 # done
+    film0 = jnp.zeros((n, 3), jnp.float32)
+    end = s0 * n + n * nspp
+
+    def cond(carry):
+        st, film = carry
+        return ~jnp.all(st[11])
+
+    def body(carry):
+        st, film = carry
+        nst, died = jax.vmap(
+            lambda *s: _advance_vol_lane(scene, options, s, su))(*st)
+        (item, org, d, medium, T, L, bounces, dir_pdf, nee_p, mtp,
+         eta_scale, done) = nst
+
+        # NaN exclusion at the splat, as in the reference film loop
+        # (render.cpp:140-143)
+        pixel = (item % n).astype(jnp.int32)
+        contrib = jnp.where(died[:, None] & jnp.isfinite(L), L, 0.0)
+        film = _dense_film_add(film, pixel, contrib, n, lanes)
+
+        next_item = item + lanes
+        has_more = next_item < end
+        regen = died & has_more
+        done = done | (died & ~has_more)
+
+        _rp, rorg, rd = _primary_hash(scene, options, next_item, su)
+        sel = lambda a, b: jnp.where(regen, a, b)
+        selv = lambda a, b: jnp.where(regen[:, None], a, b)
+        state_new = (
+            sel(next_item, item),
+            selv(rorg, org),
+            selv(rd, d),
+            sel(jnp.full_like(medium, scene.meta.camera_medium_id), medium),
+            selv(jnp.ones_like(T), T),
+            selv(jnp.zeros_like(L), L),
+            sel(jnp.zeros_like(bounces), bounces),
+            sel(jnp.zeros_like(dir_pdf), dir_pdf),
+            selv(rorg, nee_p),
+            selv(jnp.ones_like(mtp), mtp),
+            sel(jnp.ones_like(eta_scale), eta_scale),
+            done,
+        )
+        return (state_new, film)
+
+    (_, film) = jax.lax.while_loop(cond, body, (state, film0))
+    return film
 
 
 @partial(jax.jit, static_argnames=('options', 'nspp', 'tile'))
-def _render_volpath_block(scene, options, seed, s0, nspp, p0=0, tile=None):
-    """Render `nspp` samples of a contiguous pixel range [p0, p0+tile).
-    Small launches keep each device program short (the nested volumetric
-    loops make single launches long; oversized ones can trip runtime
-    watchdogs)."""
+def _render_volpath_simple_block(scene, options, seed, s0, nspp, p0=0,
+                                 tile=None):
+    """Per-pixel driver for the single-bounce pedagogical versions 1-2."""
     w = scene.meta.width
     h = scene.meta.height
     n = w * h
@@ -480,14 +570,14 @@ def _render_volpath_block(scene, options, seed, s0, nspp, p0=0, tile=None):
     px = (pix % w).astype(jnp.int32)
     py = (pix // w).astype(jnp.int32)
     pixel_keys = jax.vmap(jax.random.fold_in, (None, 0))(root, pix)
-    tracer = _TRACERS[options.vol_path_version]
+    tracer = {1: volpath1_trace_one, 2: volpath2_trace_one}[
+        options.vol_path_version]
     trace = jax.vmap(tracer, in_axes=(None, None, 0, 0, 0))
 
     def one_spp(i, img):
         keys = jax.vmap(jax.random.fold_in, (0, None))(
             pixel_keys, (s0 + i).astype(jnp.uint32))
         L = trace(scene, options, px, py, keys)
-        # NaN exclusion, as in the reference film loop (render.cpp:140-143)
         L = jnp.where(jnp.isfinite(L), L, 0.0)
         return img + L
 
@@ -495,8 +585,8 @@ def _render_volpath_block(scene, options, seed, s0, nspp, p0=0, tile=None):
                              jnp.zeros((tile, 3), jnp.float32))
 
 
-VOL_SPP_BLOCK = 2
-VOL_TILE = 131072
+VOL_SPP_BLOCK = 4
+VOL_LANES = 131072
 
 
 def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
@@ -507,10 +597,10 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     h = scene.meta.height
     n = w * h
     spp = options.samples_per_pixel
-    # heterogeneous media run long null-collision chains → much shorter
+    simple = options.vol_path_version in (1, 2)
+    # heterogeneous media run long null-collision chains → shorter
     # launches (the lockstep inner loop can run hundreds of iterations)
-    tile_cap = 2048 if scene.meta.has_grid_volumes else VOL_TILE
-    tile = min(tile_cap, n)
+    lanes = min(16384 if scene.meta.has_grid_volumes else VOL_LANES, n)
     spp_block = 1 if scene.meta.has_grid_volumes else VOL_SPP_BLOCK
 
     img, spp_done = None, 0
@@ -523,11 +613,13 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     s0 = spp_done
     while s0 < spp:
         ns = min(spp_block, spp - s0)
-        for p0 in range(0, n, tile):
-            tl = min(tile, n - p0)
+        if simple:
+            block = _render_volpath_simple_block(scene, options, seed, s0,
+                                                 ns, 0, n)
+        else:
             block = _render_volpath_block(scene, options, seed, s0, ns,
-                                          p0, tl)
-            img[p0:p0 + tl] += np.asarray(block)
+                                          lanes)
+        img += np.asarray(block)
         s0 += ns
         rep.update(ns)
         if checkpoint:

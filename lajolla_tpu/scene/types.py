@@ -237,6 +237,9 @@ class Scene:
     vol_pmax: Any        # (NV,3) f32
     vol_maxval: Any      # (NV,3) f32  (max grid value × scale)
     volume_data: Any     # (TOTALV,3) f32
+    svox_offset: Any     # (NV,) i32 into svox_data
+    svox_res: Any        # (NV,3) i32 supervoxel majorant grid (gx,gy,gz)
+    svox_data: Any       # (TOTS,3) f32 conservative per-supervoxel majorants
 
     # --- merged wide-row tables (see scene/soa.py) ----------------------------
     tri_shade: Any       # (T, 25) f32 denormalized per-triangle shading record

@@ -90,3 +90,58 @@ def test_bvh_matches_brute_force():
     occ = jax.vmap(lambda o, d: bvh_occluded(scene, o, d, 0.0, jnp.inf))(o, d)
     np.testing.assert_array_equal(np.asarray(occ),
                                   np.isfinite(np.asarray(t_b)))
+
+
+class FakeBinnedScene:
+    """Duck-typed scene for the binned two-level intersector."""
+    def __init__(self, tri, cluster_tris=64):
+        from lajolla_tpu.ops.intersect_binned import build_clusters
+        self.tri_p0 = jnp.asarray(tri[:, 0], jnp.float32)
+        self.tri_e1 = jnp.asarray(tri[:, 1] - tri[:, 0], jnp.float32)
+        self.tri_e2 = jnp.asarray(tri[:, 2] - tri[:, 0], jnp.float32)
+        lo = np.minimum(np.minimum(tri[:, 0], tri[:, 1]), tri[:, 2])
+        hi = np.maximum(np.maximum(tri[:, 0], tri[:, 1]), tri[:, 2])
+        b = build_bvh(lo.astype(np.float32), hi.astype(np.float32))
+        cl = build_clusters(b, np.asarray(self.tri_p0),
+                            np.asarray(self.tri_e1),
+                            np.asarray(self.tri_e2),
+                            max_tris=cluster_tris)
+        self.cl_lo = jnp.asarray(cl['cl_lo'])
+        self.cl_hi = jnp.asarray(cl['cl_hi'])
+        self.cl_A = jnp.asarray(cl['cl_A'])
+        self.cl_b = jnp.asarray(cl['cl_b'])
+        self.cl_prim = jnp.asarray(cl['cl_prim'])
+
+
+def test_binned_matches_brute_force():
+    """Oracle for the big-scene path (ops/intersect_binned.py): closest
+    hits and occlusion on a 5k-triangle random soup must agree with the
+    all-triangles reference."""
+    from lajolla_tpu.ops.intersect_binned import (intersect_binned,
+                                                  occluded_binned)
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-1, 1, size=(5000, 1, 3))
+    tri = (centers + rng.normal(scale=0.04, size=(5000, 3, 3))).astype(
+        np.float32)
+    bscene = FakeBinnedScene(tri)
+    fscene = FakeScene(tri)
+
+    N = 2048
+    o = rng.uniform(-2, 2, size=(N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tnear = np.zeros(N, np.float32)
+    tfar = np.full(N, np.inf, np.float32)
+
+    t_ref = jax.vmap(lambda o, d: _brute(fscene, o, d))(o, d)
+    t_bin, prim, u, v = intersect_binned(bscene, jnp.asarray(o),
+                                         jnp.asarray(d),
+                                         jnp.asarray(tnear),
+                                         jnp.asarray(tfar))
+    np.testing.assert_allclose(np.asarray(t_bin), np.asarray(t_ref),
+                               rtol=2e-4, atol=2e-5)
+
+    occ = occluded_binned(bscene, jnp.asarray(o), jnp.asarray(d),
+                          jnp.asarray(tnear), jnp.asarray(tfar))
+    np.testing.assert_array_equal(np.asarray(occ),
+                                  np.isfinite(np.asarray(t_ref)))
