@@ -406,6 +406,11 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
     if scene.meta.use_binned:
         # heavy intersector → short launches: small lane pool, 1 spp/launch
         spp_block, lanes = 1, min(n, 65536)
+    elif _use_kernel(scene):
+        # fused-kernel scenes render ~40+ Mpaths/s: large blocks amortize
+        # the per-launch dispatch + film readback (~0.15 s through the
+        # axon tunnel, measured ~40% of a 16-spp block's wall time)
+        spp_block, lanes = KERNEL_SPP_BLOCK, n
     else:
         spp_block, lanes = SPP_BLOCK, n
 
@@ -429,3 +434,5 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
 
 
 SPP_BLOCK = 16
+KERNEL_SPP_BLOCK = 256    # ~1.3 s/launch at 48 Mpaths/s; amortizes the
+                          # ~0.15 s dispatch+readback through the tunnel

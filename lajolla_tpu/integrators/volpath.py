@@ -41,7 +41,9 @@ from lajolla_tpu.integrators.media import (get_majorant, get_sigma_a,
                                            update_medium)
 from lajolla_tpu.integrators.path import (_GOLD, _dense_film_add,
                                           _hash_u01, _pcg_hash,
-                                          _primary_hash)
+                                          _primary_hash,
+                                          _ray_diff_reflect,
+                                          _ray_diff_refract)
 from lajolla_tpu.materials import eval_bsdf, pdf_bsdf, sample_bsdf
 from lajolla_tpu.scene.camera import sample_primary
 from lajolla_tpu.scene.geometry import intersect_scene
@@ -107,37 +109,112 @@ def _sigmas(scene, med_id, p):
 # (vol_path_tracing.h:554-629 main form; :355-410 NEE form)
 # ---------------------------------------------------------------------------
 
+def _majorant_segment(scene, med_id, org, d, t_cur, t_hit):
+    """Piecewise-constant majorant along the ray: the (3,) majorant that
+    bounds sigma_t over [t_cur, t_end), and t_end itself.
+
+    Homogeneous media: (sigma_a + sigma_s, t_hit) — one segment, exactly
+    the reference's behavior (media/homogeneous.inl). Heterogeneous grid
+    media: a DDA step over the compile-time supervoxel majorant grid
+    (scene.svox_*, scene/compile.py _super_majorants) replacing the
+    single global grid max the reference uses
+    (media/heterogeneous.inl:3-11) — outside the grid bbox the majorant
+    is 0 (density lookups are 0 there, volume.h:45-52), inside it is the
+    current supervoxel's bound and t_end its exit distance."""
+    from lajolla_tpu.scene.types import MED_HETEROGENEOUS
+    med_id = jnp.maximum(med_id, 0)
+    hom = scene.med_sigma_a[med_id] + scene.med_sigma_s[med_id]
+    if MED_HETEROGENEOUS not in scene.meta.med_types_present:
+        return hom, t_hit
+
+    dvol = jnp.maximum(scene.med_density_vol[med_id], 0)
+    pmin = scene.vol_pmin[dvol]
+    pmax = scene.vol_pmax[dvol]
+    sres = scene.svox_res[dvol]                            # (3,) i32
+    sresf = sres.astype(jnp.float32)
+    safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    tn = (pmin - org) / safe_d
+    tf = (pmax - org) / safe_d
+    t0 = jnp.maximum(jnp.max(jnp.minimum(tn, tf)), 0.0)
+    t1 = jnp.min(jnp.maximum(tn, tf))
+
+    # current supervoxel (nudged off the entry boundary)
+    span = jnp.maximum(t1 - t0, 1e-20)
+    tq = t_cur + 1e-5 * span
+    pn = (org + d * tq - pmin) / jnp.maximum(pmax - pmin, 1e-20)
+    cell = jnp.clip((pn * sresf).astype(jnp.int32), 0, sres - 1)
+    clo = pmin + cell.astype(jnp.float32) / sresf * (pmax - pmin)
+    chi = pmin + (cell + 1).astype(jnp.float32) / sresf * (pmax - pmin)
+    tcn = (clo - org) / safe_d
+    tcf = (chi - org) / safe_d
+    t_exit = jnp.min(jnp.maximum(tcn, tcf))
+    gx, gy = sres[0], sres[1]
+    idx = scene.svox_offset[dvol] + (cell[2] * gy + cell[1]) * gx + cell[0]
+    maj_cell = scene.svox_data[idx]
+
+    before = t_cur < t0
+    after = t_cur >= t1
+    outside = before | after | (t0 > t1)
+    maj_het = jnp.where(outside, jnp.zeros(3), maj_cell)
+    # inside the box: guarantee forward progress for boundary-sitting
+    # lanes (tq's nudge stays within the supervoxel build's one-node
+    # conservative margin, scene/compile.py _super_majorants)
+    t_end_het = jnp.where(before & (t0 <= t1), t0,
+                          jnp.where(after | (t0 > t1), INF,
+                                    jnp.maximum(t_exit, tq)))
+
+    is_het = scene.med_type[med_id] == MED_HETEROGENEOUS
+    maj = jnp.where(is_het, maj_het, hom)
+    t_end = jnp.where(is_het, jnp.minimum(t_end_het, t_hit), t_hit)
+    return maj, t_end
+
+
 def _free_flight(scene, options, hs, org, d, med_id, t_hit,
                  with_scatter):
     """Delta-tracking along [0, t_hit). hs: uint32 sub-stream root.
     Returns (transmittance, trans_dir_pdf, trans_nee_pdf, scatter,
     accum_t). with_scatter=False gives the ratio-tracking NEE variant (no
-    real/null decision; transmittance picks up sigma_n)."""
-    majorant = get_majorant(scene, med_id, org, d, t_hit)
+    real/null decision; transmittance picks up sigma_n).
+
+    The loop walks piecewise-constant majorant segments
+    (_majorant_segment): one iteration either processes a tentative
+    collision inside the current segment (real/null decision against the
+    LOCAL majorant — unbiased for any local bound >= sigma_t) or skips
+    deterministically to the segment end, multiplying all three products
+    by exp(-majorant * dt) exactly like the reference's
+    reached-the-surface branch (vol_path_tracing.h:607-612)."""
+    majorant0 = get_majorant(scene, med_id, org, d, t_hit)
     channel = jnp.clip((_u(hs, 0) * 3).astype(jnp.int32), 0, 2)
-    maj_ch = majorant[channel]
-    max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
+    maj0_ch = majorant0[channel]
 
     def cond(st):
         (accum_t, it, trans, tdp, tnp, scatter, done) = st
-        return ~done & (maj_ch > 0) & (it < options.max_null_collisions)
+        return ~done & (maj0_ch > 0) & (it < options.max_null_collisions)
 
     def body(st):
         (accum_t, it, trans, tdp, tnp, scatter, done) = st
+        majorant, t_end = _majorant_segment(scene, med_id, org, d,
+                                            accum_t, t_hit)
+        maj_ch = majorant[channel]
+        max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
         u = jnp.stack([_uit(hs, it, 0), _uit(hs, it, 1)])
-        t = -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) / jnp.maximum(maj_ch,
-                                                                   1e-20)
-        dt = t_hit - accum_t
-        accum_t = jnp.minimum(accum_t + t, t_hit)
+        t = jnp.where(maj_ch > 0,
+                      -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) /
+                      jnp.maximum(maj_ch, 1e-20), INF)
+        dt = t_end - accum_t
+        t_next = jnp.minimum(accum_t + t, t_end)
         in_flight = t < dt
+        hit_end = ~in_flight & (t_end >= t_hit)
 
-        p = org + d * accum_t
+        p = org + d * t_next
         sigma_s, sigma_a = _sigmas(scene, med_id, p)
         sigma_t = sigma_s + sigma_a
         sigma_n = majorant * (1.0 - sigma_t / jnp.maximum(majorant, 1e-20))
         real_prob = sigma_t / jnp.maximum(majorant, 1e-20)
-        att = jnp.exp(-majorant * t)
-        att_dt = jnp.exp(-majorant * dt)
+        # clamp inf distances (majorant-0 segments / unbounded media):
+        # 0 * inf would be NaN where exp(-0 * dt) must be 1
+        att = jnp.exp(-majorant * jnp.minimum(t, 1e30))
+        att_dt = jnp.exp(-majorant * jnp.minimum(dt, 1e30))
 
         if with_scatter:
             is_real = u[1] < real_prob[channel]
@@ -159,7 +236,7 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
                           tnp * att * majorant / max_maj),
                 tnp * att_dt)
             scatter_n = scatter | (in_flight & is_real)
-            done_n = done | ~in_flight | (in_flight & is_real)
+            done_n = done | hit_end | (in_flight & is_real)
         else:
             # NEE ratio tracking (:384-404): no real/null decision
             trans_n = jnp.where(in_flight,
@@ -173,9 +250,9 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
                               max_maj,
                               tdp * att_dt)
             scatter_n = scatter
-            done_n = done | ~in_flight | (jnp.max(trans_n) <= 0)
+            done_n = done | hit_end | (jnp.max(trans_n) <= 0)
 
-        return (accum_t, it + 1, trans_n, tdp_n, tnp_n, scatter_n,
+        return (t_next, it + 1, trans_n, tdp_n, tnp_n, scatter_n,
                 done_n)
 
     ones = jnp.ones(3)
@@ -273,10 +350,14 @@ def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
 def _advance_vol_lane(scene, options, st, su):
     """ONE bounce of the final integrator for a single lane (vmapped by
     the wavefront driver). st = (item, org, d, medium, T, L, bounces,
-    dir_pdf, nee_p, multi_trans_pdf, eta_scale, done). Returns
-    (new_state, died) where died marks the path completing THIS step."""
+    dir_pdf, nee_p, multi_trans_pdf, eta_scale, spread, radius, done).
+    Returns (new_state, died) where died marks the path completing THIS
+    step. spread/radius are the scalar ray-differential state threaded
+    through surface bounces like the surface engine (path.py:49-58;
+    reference passes ray_diff through vol_path_tracing.h:543) so textured
+    surfaces inside media select mips."""
     (item, org, d, medium, T, L, bounces, dir_pdf, nee_p,
-     multi_trans_pdf, eta_scale, done) = st
+     multi_trans_pdf, eta_scale, spread, radius, done) = st
     eps_isect = intersection_eps(scene.meta.scene_radius)
     max_depth = options.max_depth
     ones = jnp.ones(3)
@@ -284,7 +365,7 @@ def _advance_vol_lane(scene, options, st, su):
     hb = _pcg_hash(item.astype(jnp.uint32) ^
                    _pcg_hash(bounces.astype(jnp.uint32) ^ su))
 
-    hit = intersect_scene(scene, org, d, eps_isect, INF)
+    hit = intersect_scene(scene, org, d, eps_isect, INF, radius, spread)
     t_hit = jnp.where(hit.valid, hit.t, INF)
 
     in_medium = medium >= 0
@@ -303,6 +384,7 @@ def _advance_vol_lane(scene, options, st, su):
         trans = tdp = tnp = ones
         scatter = jnp.bool_(False)
         scatter_pos = org
+        accum_t = jnp.float32(0.0)
 
     # vacuum miss: the fork discards the path entirely (:634-641)
     vacuum_miss = ~in_medium & ~hit.valid
@@ -312,6 +394,9 @@ def _advance_vol_lane(scene, options, st, su):
     new_org = jnp.where(scatter, scatter_pos,
                         jnp.where(hit.valid, hit.position, org))
     T = T * trans / jnp.maximum(_avg(tdp), 1e-30)
+    # footprint grows with distance traveled (path.py:77)
+    t_adv = jnp.where(scatter, accum_t, jnp.where(hit.valid, hit.t, 0.0))
+    radius = radius + spread * t_adv
 
     # ---- emission (:652-711) -------------------------------------------
     hit_light = active & ~scatter & hit.valid & (hit.light_id >= 0)
@@ -374,6 +459,13 @@ def _advance_vol_lane(scene, options, st, su):
                           update_medium(hit, rec.dir_out, medium),
                           medium)
     T_surface = T * f / jnp.maximum(pdf_b, 1e-30)
+    new_spread = jnp.where(
+        is_refract,
+        _ray_diff_refract(spread, radius, hit.mean_curvature,
+                          jnp.maximum(rec.eta, 1e-6), rec.roughness),
+        _ray_diff_reflect(spread, radius, hit.mean_curvature,
+                          rec.roughness))
+    spread = jnp.where(do_surface, new_spread, spread)
 
     # nee cache update (:755-760, :806-810)
     nee_valid = (do_scatter & (jnp.max(nee_s) > 0)) | \
@@ -401,7 +493,7 @@ def _advance_vol_lane(scene, options, st, su):
     active = active & (bounces + 1 < MAX_BOUNCES_CAP)
     died = ~done & ~active
     nst = (item, new_org, d_next, medium, T, L, bounces + 1, dir_pdf,
-           nee_p, multi_trans_pdf, eta_scale, done)
+           nee_p, multi_trans_pdf, eta_scale, spread, radius, done)
     return nst, died
 
 
@@ -484,43 +576,50 @@ def volpath2_trace_one(scene, options, px, py, key):
 # Drivers
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes'))
-def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None):
+@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes', 'count'))
+def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
+                          i0=0, count=None):
     """Persistent-wavefront queue over (pixel, sample) work items for the
     final integrator: every iteration advances each lane by ONE bounce;
     finished paths splat into the film (dense, queue-stride — see
     path.py _dense_film_add) and regenerate immediately. Returns the film
-    SUM over sample indices [s0, s0+nspp)."""
+    SUM over work items [s0*n + i0, s0*n + i0 + count) — `count` < n*nspp
+    bounds the device-launch duration for heavy (grid-media) scenes; the
+    driver accumulates chunks."""
     w = scene.meta.width
     h = scene.meta.height
     n = w * h
     lanes = lanes or n
+    count = count if count is not None else n * nspp
     su = _pcg_hash(jnp.uint32(seed) ^ jnp.uint32(0x701A77E5))
 
-    item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n
+    item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n + i0
     _pix, org0, d0 = _primary_hash(scene, options, item0, su)
     med0 = jnp.full(lanes, scene.meta.camera_medium_id, jnp.int32)
     ones = jnp.ones((lanes, 3), jnp.float32)
     z3 = jnp.zeros((lanes, 3), jnp.float32)
+    spread0 = jnp.full(lanes, 0.25 / max(w, h), jnp.float32)
     state = (item0, org0, d0, med0, ones, z3,
              jnp.zeros(lanes, jnp.int32),                 # bounces
              jnp.zeros(lanes, jnp.float32),               # dir_pdf
              org0, ones,                                  # nee_p, mtp
              jnp.ones(lanes, jnp.float32),                # eta_scale
+             spread0,                                     # ray-diff spread
+             jnp.zeros(lanes, jnp.float32),               # ray-diff radius
              jnp.zeros(lanes, jnp.bool_))                 # done
     film0 = jnp.zeros((n, 3), jnp.float32)
-    end = s0 * n + n * nspp
+    end = s0 * n + i0 + count
 
     def cond(carry):
         st, film = carry
-        return ~jnp.all(st[11])
+        return ~jnp.all(st[13])
 
     def body(carry):
         st, film = carry
         nst, died = jax.vmap(
             lambda *s: _advance_vol_lane(scene, options, s, su))(*st)
         (item, org, d, medium, T, L, bounces, dir_pdf, nee_p, mtp,
-         eta_scale, done) = nst
+         eta_scale, spread, radius, done) = nst
 
         # NaN exclusion at the splat, as in the reference film loop
         # (render.cpp:140-143)
@@ -548,6 +647,8 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None):
             selv(rorg, nee_p),
             selv(jnp.ones_like(mtp), mtp),
             sel(jnp.ones_like(eta_scale), eta_scale),
+            sel(jnp.full_like(spread, 0.25 / max(w, h)), spread),
+            sel(jnp.zeros_like(radius), radius),
             done,
         )
         return (state_new, film)
@@ -611,15 +712,26 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     rep = ProgressReporter(spp, label="volpath", enabled=progress)
     rep.done = spp_done
     s0 = spp_done
+    # grid-media paths run long lockstep null-collision loops; bound each
+    # device launch by chunking the work-item range (the axon worker
+    # crashes on launches over ~60 s)
+    chunk = 2 * lanes if scene.meta.has_grid_volumes else None
     while s0 < spp:
         ns = min(spp_block, spp - s0)
         if simple:
             block = _render_volpath_simple_block(scene, options, seed, s0,
                                                  ns, 0, n)
+            img += np.asarray(block)
+        elif chunk is None:
+            img += np.asarray(_render_volpath_block(scene, options, seed,
+                                                    s0, ns, lanes))
         else:
-            block = _render_volpath_block(scene, options, seed, s0, ns,
-                                          lanes)
-        img += np.asarray(block)
+            i0 = 0
+            while i0 < n * ns:
+                c = min(chunk, n * ns - i0)
+                img += np.asarray(_render_volpath_block(
+                    scene, options, seed, s0, ns, lanes, i0, c))
+                i0 += c
         s0 += ns
         rep.update(ns)
         if checkpoint:

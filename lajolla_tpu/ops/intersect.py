@@ -140,8 +140,12 @@ def _brute_force_vmap_rule(axis_size, in_batched, scene, o, d, tnear, tfar):
     o, d, tnear, tfar = _bcast_ray_args(axis_size, in_batched, o, d,
                                         tnear, tfar)
     if scene.meta.use_binned:
-        from lajolla_tpu.ops.intersect_binned import intersect_binned
-        out = intersect_binned(scene, o, d, tnear, tfar)
+        if _on_tpu():
+            from lajolla_tpu.ops.intersect_sweep import intersect_sweep
+            out = intersect_sweep(scene, o, d, tnear, tfar)
+        else:
+            from lajolla_tpu.ops.intersect_binned import intersect_binned
+            out = intersect_binned(scene, o, d, tnear, tfar)
     elif _on_tpu():
         from lajolla_tpu.ops.intersect_pallas import intersect_brute_pallas
         out = intersect_brute_pallas(scene, o, d, tnear, tfar)
@@ -162,8 +166,12 @@ def _occluded_vmap_rule(axis_size, in_batched, scene, o, d, tnear, tfar):
     o, d, tnear, tfar = _bcast_ray_args(axis_size, in_batched, o, d,
                                         tnear, tfar)
     if scene.meta.use_binned:
-        from lajolla_tpu.ops.intersect_binned import occluded_binned
-        out = occluded_binned(scene, o, d, tnear, tfar)
+        if _on_tpu():
+            from lajolla_tpu.ops.intersect_sweep import occluded_sweep
+            out = occluded_sweep(scene, o, d, tnear, tfar)
+        else:
+            from lajolla_tpu.ops.intersect_binned import occluded_binned
+            out = occluded_binned(scene, o, d, tnear, tfar)
     elif _on_tpu():
         from lajolla_tpu.ops.intersect_pallas import occluded_brute_pallas
         out = occluded_brute_pallas(scene, o, d, tnear, tfar)

@@ -190,14 +190,19 @@ def compile_scene(b):
     use_binned = use_bvh
     if use_binned:
         from lajolla_tpu.ops.intersect_binned import build_clusters
+        from lajolla_tpu.ops.intersect_sweep import pack_sweep
         cl = build_clusters(bvh, p0.astype(np.float32),
                             e1.astype(np.float32), e2.astype(np.float32))
+        sw = pack_sweep(cl)
     else:
         cl = dict(cl_lo=np.zeros((1, 3), np.float32),
                   cl_hi=np.zeros((1, 3), np.float32),
                   cl_A=np.zeros((1, 3, 3), np.float32),
                   cl_b=np.zeros((1, 3), np.float32),
                   cl_prim=np.full((1, 1), -1, np.int32))
+        sw = dict(sw_A=np.zeros((1, 12), np.float32),
+                  sw_prim=np.full((1, 1), -1.0, np.float32),
+                  sw_aabb=np.zeros((1, 8), np.float32))
 
     # merged BVH tables: ONE wide gather per node visit / leaf triangle
     nb = bvh['lo'].shape[0]
@@ -311,6 +316,32 @@ def compile_scene(b):
         med_albedo_vol[i] = m.albedo_vol
         med_density_vol[i] = m.density_vol
 
+    def _super_majorants(g, gres):
+        """Conservative per-supervoxel majorants for a (Z,Y,X,3) grid.
+
+        Supervoxel (i,j,k) of an (gx,gy,gz) partition of the volume's
+        [pmin,pmax] box must bound the trilinear-interpolated density
+        anywhere inside it (plus a one-node margin for the DDA's boundary
+        nudges), i.e. the max over fine nodes with index in
+        [floor(lo)-1, floor(hi)+2] per axis. Replaces the single global
+        majorant the reference uses (media/heterogeneous.inl:3-11) — any
+        local bound >= sigma_t keeps delta tracking unbiased, and a tight
+        one cuts the lockstep null-collision rounds ~100x on hetvol."""
+        gx, gy, gz = gres
+        out = g
+        for axis, gdim in ((2, gx), (1, gy), (0, gz)):
+            n_nodes = out.shape[axis]
+            chunks = []
+            for i in range(gdim):
+                lo = int(np.floor(i * (n_nodes - 1) / gdim)) - 1
+                hi = int(np.floor((i + 1) * (n_nodes - 1) / gdim)) + 2
+                lo, hi = max(lo, 0), min(hi, n_nodes - 1)
+                sl = [slice(None)] * out.ndim
+                sl[axis] = slice(lo, hi + 1)
+                chunks.append(out[tuple(sl)].max(axis=axis, keepdims=True))
+            out = np.concatenate(chunks, axis=axis)
+        return out  # (gz, gy, gx, 3)
+
     nv = max(len(b.volumes), 1)
     vol_kind = np.zeros(nv, np.int32)
     vol_const = np.zeros((nv, 3))
@@ -320,8 +351,12 @@ def compile_scene(b):
     vol_pmax = np.ones((nv, 3))
     vol_maxval = np.zeros((nv, 3))
     vol_scale = np.ones(nv)
+    svox_offset = np.zeros(nv, np.int32)
+    svox_res = np.ones((nv, 3), np.int32)
     vchunks = []
+    schunks = []
     voff = 0
+    soff = 0
     for i, v in enumerate(b.volumes):
         vol_kind[i] = v.kind
         vol_const[i] = np.asarray(v.const) * v.scale
@@ -336,10 +371,19 @@ def compile_scene(b):
             vol_maxval[i] = g.reshape(-1, 3).max(0) * v.scale
             vchunks.append(g.reshape(-1, 3) * v.scale)
             voff += x * y * z
+            gres = tuple(int(np.clip((r - 1 + 3) // 4, 1, 32))
+                         for r in (x, y, z))
+            sv = _super_majorants(g, gres) * v.scale
+            svox_offset[i] = soff
+            svox_res[i] = gres
+            schunks.append(sv.reshape(-1, 3))
+            soff += gres[0] * gres[1] * gres[2]
         else:
             vol_maxval[i] = vol_const[i]
     volume_data = (np.concatenate(vchunks) if vchunks
                    else np.zeros((1, 3))).astype(np.float32)
+    svox_data = (np.concatenate(schunks) if schunks
+                 else np.zeros((1, 3))).astype(np.float32)
 
     # --------------------------------------------------- merged wide-row tables
     # (scene/soa.py): one row fetch per record instead of many narrow
@@ -529,6 +573,8 @@ def compile_scene(b):
         cl_lo=_f32(cl['cl_lo']), cl_hi=_f32(cl['cl_hi']),
         cl_A=_f32(cl['cl_A']), cl_b=_f32(cl['cl_b']),
         cl_prim=_i32(cl['cl_prim']),
+        sw_A=_f32(sw['sw_A']), sw_prim=_f32(sw['sw_prim']),
+        sw_aabb=_f32(sw['sw_aabb']),
         fp_woop=_f32(fp_woop), fp_tri=_f32(fp_tri), fp_light=_f32(fp_light),
         fp_sph=_f32(fp_sph),
         shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),
@@ -558,6 +604,8 @@ def compile_scene(b):
         vol_offset=_i32(vol_offset), vol_res=_i32(vol_res),
         vol_pmin=_f32(vol_pmin), vol_pmax=_f32(vol_pmax),
         vol_maxval=_f32(vol_maxval), volume_data=_f32(volume_data),
+        svox_offset=_i32(svox_offset), svox_res=_i32(svox_res),
+        svox_data=_f32(svox_data),
         tri_shade=_f32(tri_shade), shape_tab=_f32(shape_tab),
         light_tab=_f32(light_tab), mat_tab=_f32(mat_tab),
         tex_tab=_f32(tex_tab),

@@ -169,6 +169,9 @@ class Scene:
     cl_A: Any            # (K, 3, 3C) f32 dense Woop transform blocks
     cl_b: Any            # (K, 3C) f32
     cl_prim: Any         # (K, C) i32 triangle ids (-1 pad)
+    sw_A: Any            # (K*C, 12) f32 sweep-kernel Woop rows
+    sw_prim: Any         # (K*C, 1) f32 global tri ids (-1 pad)
+    sw_aabb: Any         # (K, 8) f32 cluster [lo3 hi3 0 0]
 
     # --- diffuse fast-path tables (integrators/path_kernel.py) --------------
     fp_woop: Any         # (T, 12) f32 [Ax(4) Ay(4) Az(4)]

@@ -74,6 +74,70 @@ def test_sigma_decomposition(hetvol_scene):
     np.testing.assert_allclose(ss + sa, dens, rtol=1e-5, atol=1e-6)
 
 
+def test_supervoxel_majorant_conservative(hetvol_scene):
+    """Every supervoxel majorant (scene/compile.py _super_majorants)
+    bounds the trilinear density at random points inside its cell."""
+    sc = hetvol_scene
+    dvol = int(sc.med_density_vol[0])
+    pmin = np.asarray(sc.vol_pmin[dvol])
+    pmax = np.asarray(sc.vol_pmax[dvol])
+    sres = np.asarray(sc.svox_res[dvol])
+    soff = int(sc.svox_offset[dvol])
+    svox = np.asarray(sc.svox_data)
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(pmin, pmax, size=(2048, 3)).astype(np.float32)
+    dens = np.asarray(jax.vmap(
+        lambda p: lookup_volume(sc, jnp.int32(dvol), p))(
+            jnp.asarray(pts)))
+    pn = (pts - pmin) / (pmax - pmin)
+    cell = np.clip((pn * sres).astype(np.int64), 0, sres - 1)
+    idx = soff + (cell[:, 2] * sres[1] + cell[:, 1]) * sres[0] + cell[:, 0]
+    maj = svox[idx]
+    assert (dens <= maj + 1e-4).all()
+
+
+def test_ratio_tracking_transmittance_unbiased(hetvol_scene):
+    """E[ratio-tracked transmittance] through the real smoke grid ==
+    exp(-integral sigma_t), with the supervoxel DDA majorants
+    (volpath._free_flight, with_scatter=False). A majorant below sigma_t
+    anywhere, or a mis-accounted segment boundary, biases this."""
+    from lajolla_tpu.integrators.volpath import _free_flight
+    from lajolla_tpu.scene.parser import parse_scene
+    _, options = parse_scene(f"{REF}/volpath_test/hetvol.xml")
+    sc = hetvol_scene
+    dvol = int(sc.med_density_vol[0])
+    pmin = np.asarray(sc.vol_pmin[dvol])
+    pmax = np.asarray(sc.vol_pmax[dvol])
+    ctr = (pmin + pmax) / 2
+    org = jnp.asarray(ctr - np.array([0.0, 0.0, 2.0 * (pmax - pmin)[2]]),
+                      jnp.float32)
+    d = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    t_hit = jnp.float32(5.0 * (pmax - pmin)[2])
+
+    # ground truth: dense quadrature of sigma_t along the ray
+    ts = np.linspace(0.0, float(t_hit), 4001)
+    pts = np.asarray(org)[None, :] + ts[:, None] * np.asarray(d)[None, :]
+    sig = np.asarray(jax.vmap(
+        lambda p: lookup_volume(sc, jnp.int32(dvol), p))(
+            jnp.asarray(pts, jnp.float32)))[:, 0]
+    tau = np.trapezoid(sig, ts)
+    truth = np.exp(-tau)
+
+    roots = jnp.arange(8192, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+
+    def one(hs):
+        trans, _tdp, tnp, _sc, _at = _free_flight(
+            sc, options, hs, org, d, jnp.int32(0), t_hit,
+            with_scatter=False)
+        # the unbiased transmittance estimate is trans / trans_nee_pdf
+        # (the caller divides by the pdf product, volpath._vol_nee) —
+        # for a gray grid the ratio telescopes to prod(sigma_n/majorant)
+        return trans[0] / jnp.maximum(tnp[0], 1e-30)
+
+    est = float(jnp.mean(jax.vmap(one)(roots)))
+    assert est == pytest.approx(truth, rel=0.05, abs=5e-4)
+
+
 @pytest.mark.parametrize("g", [0.0, 0.3, -0.7])
 def test_phase_normalization(hetvol_scene, g):
     """Phase pdf integrates to 1 over the sphere; sample ↔ pdf agree on
