@@ -21,19 +21,28 @@ INV_4PI = 1.0 / (4.0 * PI)
 # Volume lookup
 # ---------------------------------------------------------------------------
 
-def lookup_volume(scene, vol_id, p):
-    """Trilinear grid / constant volume lookup → (3,)
-    (volume.h:40-81; scale pre-multiplied into the arrays at compile)."""
-    vol_id = jnp.maximum(vol_id, 0)
-    kind = scene.vol_kind[vol_id]
-    const = scene.vol_const[vol_id]
+# wide medium row column offsets (scene.med_tab, built in compile.py)
+MT_TYPE, MT_PHASE, MT_G, MT_DVOL, MT_AVOL = 0, 1, 2, 3, 4
+MT_SA, MT_SS, MT_MAXVAL = 5, 8, 11
+MT_SRES, MT_SOFF = 14, 17
+MT_DLOOK, MT_ALOOK = 18, 32      # 14-float volume-lookup sub-rows
+# volume-lookup sub-row offsets: [kind, const3, pmin3, pmax3, res3, off]
+VL_KIND, VL_CONST, VL_PMIN, VL_PMAX, VL_RES, VL_OFF = 0, 1, 4, 7, 10, 13
+
+
+def lookup_volume_vrow(scene, vrow, p):
+    """Trilinear grid / constant volume lookup → (3,) from a 14-float
+    volume sub-row (no table gathers; volume.h:40-81 semantics, scale
+    pre-multiplied at compile)."""
+    kind = vrow[VL_KIND]
+    const = vrow[VL_CONST:VL_CONST + 3]
     if not scene.meta.has_grid_volumes:
         return const
 
-    pmin = scene.vol_pmin[vol_id]
-    pmax = scene.vol_pmax[vol_id]
-    res = scene.vol_res[vol_id]          # (xres, yres, zres)
-    off = scene.vol_offset[vol_id]
+    pmin = vrow[VL_PMIN:VL_PMIN + 3]
+    pmax = vrow[VL_PMAX:VL_PMAX + 3]
+    res = vrow[VL_RES:VL_RES + 3].astype(jnp.int32)
+    off = vrow[VL_OFF].astype(jnp.int32)
     pn = (p - pmin) / jnp.maximum(pmax - pmin, 1e-20)
     inside = jnp.all((pn >= 0.0) & (pn <= 1.0))
     rx, ry, rz = res[0], res[1], res[2]
@@ -65,13 +74,31 @@ def lookup_volume(scene, vol_id, p):
     return jnp.where(kind == VOL_GRID, grid_val, const)
 
 
-def volume_aabb_hit(scene, vol_id, o, d, tfar):
+def _vrow_from_tables(scene, vol_id):
+    """Assemble a 14-float volume sub-row with narrow table gathers —
+    for callers outside the hot loops (tests, aux integrators)."""
+    vol_id = jnp.maximum(vol_id, 0)
+    return jnp.concatenate([
+        scene.vol_kind[vol_id][None].astype(jnp.float32),
+        scene.vol_const[vol_id],
+        scene.vol_pmin[vol_id],
+        scene.vol_pmax[vol_id],
+        scene.vol_res[vol_id].astype(jnp.float32),
+        scene.vol_offset[vol_id][None].astype(jnp.float32),
+    ])
+
+
+def lookup_volume(scene, vol_id, p):
+    """Trilinear grid / constant volume lookup by volume id → (3,)."""
+    return lookup_volume_vrow(scene, _vrow_from_tables(scene, vol_id), p)
+
+
+def volume_aabb_hit_vrow(vrow, o, d, tfar):
     """Slab test against the grid bbox (volume.h:114-144); constant
     volumes always 'hit'."""
-    vol_id = jnp.maximum(vol_id, 0)
-    kind = scene.vol_kind[vol_id]
-    pmin = scene.vol_pmin[vol_id]
-    pmax = scene.vol_pmax[vol_id]
+    kind = vrow[VL_KIND]
+    pmin = vrow[VL_PMIN:VL_PMIN + 3]
+    pmax = vrow[VL_PMAX:VL_PMAX + 3]
     safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
     tn = (pmin - o) / safe_d
     tf = (pmax - o) / safe_d
@@ -82,43 +109,57 @@ def volume_aabb_hit(scene, vol_id, o, d, tfar):
     return jnp.where(kind == VOL_GRID, t0 <= t1, True)
 
 
+def volume_aabb_hit(scene, vol_id, o, d, tfar):
+    return volume_aabb_hit_vrow(_vrow_from_tables(scene, vol_id), o, d,
+                                tfar)
+
+
 # ---------------------------------------------------------------------------
 # Medium properties (medium.h:25-27)
+#
+# All property reads go through ONE wide-row fetch (scene.med_tab,
+# compile.py) — per-lane narrow gathers in the volpath inner loops were
+# measured at ~2/3 of vol_cbox wall time. The one-hot MXU fetch
+# (ops/gather.py) is exact and ~free at typical NM <= 4.
 # ---------------------------------------------------------------------------
 
-def get_majorant(scene, med_id, o, d, tfar):
-    med_id = jnp.maximum(med_id, 0)
-    typ = scene.med_type[med_id]
-    hom = scene.med_sigma_a[med_id] + scene.med_sigma_s[med_id]
+def med_row(scene, med_id):
+    """(46,) wide medium property row; med_id < 0 reads row 0 (callers
+    mask vacuum lanes themselves, as with the old accessors)."""
+    from lajolla_tpu.ops.gather import fast_gather
+    return fast_gather(scene.med_tab, jnp.maximum(med_id, 0))
+
+
+def get_majorant(scene, med_id, o, d, tfar, row=None):
+    row = med_row(scene, med_id) if row is None else row
+    hom = row[MT_SA:MT_SA + 3] + row[MT_SS:MT_SS + 3]
     if MED_HETEROGENEOUS not in scene.meta.med_types_present:
         return hom
-    dvol = scene.med_density_vol[med_id]
-    hit = volume_aabb_hit(scene, dvol, o, d, tfar)
-    het = jnp.where(hit, scene.vol_maxval[jnp.maximum(dvol, 0)],
-                    jnp.zeros(3))
-    return jnp.where(typ == MED_HOMOGENEOUS, hom, het)
+    hit = volume_aabb_hit_vrow(row[MT_DLOOK:MT_DLOOK + 14], o, d, tfar)
+    het = jnp.where(hit, row[MT_MAXVAL:MT_MAXVAL + 3], jnp.zeros(3))
+    return jnp.where(row[MT_TYPE] == MED_HOMOGENEOUS, hom, het)
 
 
-def get_sigma_s(scene, med_id, p):
-    med_id = jnp.maximum(med_id, 0)
-    typ = scene.med_type[med_id]
-    hom = scene.med_sigma_s[med_id]
+def get_sigma_s(scene, med_id, p, row=None):
+    row = med_row(scene, med_id) if row is None else row
+    hom = row[MT_SS:MT_SS + 3]
     if MED_HETEROGENEOUS not in scene.meta.med_types_present:
         return hom
-    density = lookup_volume(scene, scene.med_density_vol[med_id], p)
-    albedo = lookup_volume(scene, scene.med_albedo_vol[med_id], p)
-    return jnp.where(typ == MED_HOMOGENEOUS, hom, density * albedo)
+    density = lookup_volume_vrow(scene, row[MT_DLOOK:MT_DLOOK + 14], p)
+    albedo = lookup_volume_vrow(scene, row[MT_ALOOK:MT_ALOOK + 14], p)
+    return jnp.where(row[MT_TYPE] == MED_HOMOGENEOUS, hom,
+                     density * albedo)
 
 
-def get_sigma_a(scene, med_id, p):
-    med_id = jnp.maximum(med_id, 0)
-    typ = scene.med_type[med_id]
-    hom = scene.med_sigma_a[med_id]
+def get_sigma_a(scene, med_id, p, row=None):
+    row = med_row(scene, med_id) if row is None else row
+    hom = row[MT_SA:MT_SA + 3]
     if MED_HETEROGENEOUS not in scene.meta.med_types_present:
         return hom
-    density = lookup_volume(scene, scene.med_density_vol[med_id], p)
-    albedo = lookup_volume(scene, scene.med_albedo_vol[med_id], p)
-    return jnp.where(typ == MED_HOMOGENEOUS, hom, density * (1.0 - albedo))
+    density = lookup_volume_vrow(scene, row[MT_DLOOK:MT_DLOOK + 14], p)
+    albedo = lookup_volume_vrow(scene, row[MT_ALOOK:MT_ALOOK + 14], p)
+    return jnp.where(row[MT_TYPE] == MED_HOMOGENEOUS, hom,
+                     density * (1.0 - albedo))
 
 
 # ---------------------------------------------------------------------------
@@ -130,30 +171,27 @@ def _hg(g, cos_theta):
         (1.0 + g * g + 2.0 * g * cos_theta) ** 1.5, 1e-20)
 
 
-def phase_eval(scene, med_id, dir_in, dir_out):
+def phase_eval(scene, med_id, dir_in, dir_out, row=None):
     """→ (3,) (constant across channels, like the reference)."""
-    med_id = jnp.maximum(med_id, 0)
-    typ = scene.med_phase_type[med_id]
-    g = scene.med_g[med_id]
+    row = med_row(scene, med_id) if row is None else row
+    typ, g = row[1], row[2]
     hg = _hg(g, dot(dir_in, dir_out))
     val = jnp.where(typ == PHASE_ISOTROPIC, INV_4PI, hg)
     return jnp.full(3, 1.0) * val
 
 
-def phase_pdf(scene, med_id, dir_in, dir_out):
-    med_id = jnp.maximum(med_id, 0)
-    typ = scene.med_phase_type[med_id]
-    g = scene.med_g[med_id]
+def phase_pdf(scene, med_id, dir_in, dir_out, row=None):
+    row = med_row(scene, med_id) if row is None else row
+    typ, g = row[1], row[2]
     hg = _hg(g, dot(dir_in, dir_out))
     return jnp.where(typ == PHASE_ISOTROPIC, INV_4PI, hg)
 
 
-def phase_sample(scene, med_id, dir_in, u):
+def phase_sample(scene, med_id, dir_in, u, row=None):
     """HG inverse-CDF with uniform-sphere fallback for |g|<1e-3
     (henyeygreenstein.inl:26-46); isotropic = uniform sphere."""
-    med_id = jnp.maximum(med_id, 0)
-    typ = scene.med_phase_type[med_id]
-    g = scene.med_g[med_id]
+    row = med_row(scene, med_id) if row is None else row
+    typ, g = row[1], row[2]
 
     z = 1.0 - 2.0 * u[0]
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))

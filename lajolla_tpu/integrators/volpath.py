@@ -83,23 +83,25 @@ def _uniforms(key, n):
     return key, jax.random.uniform(sub, (n,))
 
 
-def _sigmas(scene, med_id, p):
+def _sigmas(scene, row, p):
     """sigma_s and sigma_a from ONE density + ONE albedo lookup (the
     separate get_sigma_s/get_sigma_a calls would do the grid trilinear
-    twice each — this is the inner-loop hot spot for grid media)."""
-    from lajolla_tpu.integrators.media import lookup_volume
+    twice each — this is the inner-loop hot spot for grid media). `row`
+    is the prefetched wide medium row (media.med_row) so the inner loop
+    does no medium-table gathers at all."""
+    from lajolla_tpu.integrators.media import (MT_ALOOK, MT_DLOOK, MT_SA,
+                                               MT_SS, MT_TYPE,
+                                               lookup_volume_vrow)
     from lajolla_tpu.scene.types import MED_HETEROGENEOUS, MED_HOMOGENEOUS
-    med_id = jnp.maximum(med_id, 0)
-    hom_s = scene.med_sigma_s[med_id]
-    hom_a = scene.med_sigma_a[med_id]
+    hom_s = row[MT_SS:MT_SS + 3]
+    hom_a = row[MT_SA:MT_SA + 3]
     if MED_HETEROGENEOUS not in scene.meta.med_types_present:
         return hom_s, hom_a
-    typ = scene.med_type[med_id]
-    density = lookup_volume(scene, scene.med_density_vol[med_id], p)
-    albedo = lookup_volume(scene, scene.med_albedo_vol[med_id], p)
+    density = lookup_volume_vrow(scene, row[MT_DLOOK:MT_DLOOK + 14], p)
+    albedo = lookup_volume_vrow(scene, row[MT_ALOOK:MT_ALOOK + 14], p)
     het_s = density * albedo
     het_a = density * (1.0 - albedo)
-    is_hom = typ == MED_HOMOGENEOUS
+    is_hom = row[MT_TYPE] == MED_HOMOGENEOUS
     return (jnp.where(is_hom, hom_s, het_s),
             jnp.where(is_hom, hom_a, het_a))
 
@@ -109,9 +111,10 @@ def _sigmas(scene, med_id, p):
 # (vol_path_tracing.h:554-629 main form; :355-410 NEE form)
 # ---------------------------------------------------------------------------
 
-def _majorant_segment(scene, med_id, org, d, t_cur, t_hit):
+def _majorant_segment(scene, row, org, d, t_cur, t_hit):
     """Piecewise-constant majorant along the ray: the (3,) majorant that
-    bounds sigma_t over [t_cur, t_end), and t_end itself.
+    bounds sigma_t over [t_cur, t_end), and t_end itself. `row` is the
+    prefetched wide medium row (media.med_row).
 
     Homogeneous media: (sigma_a + sigma_s, t_hit) — one segment, exactly
     the reference's behavior (media/homogeneous.inl). Heterogeneous grid
@@ -121,17 +124,18 @@ def _majorant_segment(scene, med_id, org, d, t_cur, t_hit):
     (media/heterogeneous.inl:3-11) — outside the grid bbox the majorant
     is 0 (density lookups are 0 there, volume.h:45-52), inside it is the
     current supervoxel's bound and t_end its exit distance."""
+    from lajolla_tpu.integrators.media import (MT_DLOOK, MT_SA, MT_SOFF,
+                                               MT_SRES, MT_SS, MT_TYPE,
+                                               VL_PMIN, VL_PMAX)
     from lajolla_tpu.scene.types import MED_HETEROGENEOUS
-    med_id = jnp.maximum(med_id, 0)
-    hom = scene.med_sigma_a[med_id] + scene.med_sigma_s[med_id]
+    hom = row[MT_SA:MT_SA + 3] + row[MT_SS:MT_SS + 3]
     if MED_HETEROGENEOUS not in scene.meta.med_types_present:
         return hom, t_hit
 
-    dvol = jnp.maximum(scene.med_density_vol[med_id], 0)
-    pmin = scene.vol_pmin[dvol]
-    pmax = scene.vol_pmax[dvol]
-    sres = scene.svox_res[dvol]                            # (3,) i32
-    sresf = sres.astype(jnp.float32)
+    pmin = row[MT_DLOOK + VL_PMIN:MT_DLOOK + VL_PMIN + 3]
+    pmax = row[MT_DLOOK + VL_PMAX:MT_DLOOK + VL_PMAX + 3]
+    sres = row[MT_SRES:MT_SRES + 3].astype(jnp.int32)      # (3,) i32
+    sresf = row[MT_SRES:MT_SRES + 3]
     safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
     tn = (pmin - org) / safe_d
     tf = (pmax - org) / safe_d
@@ -149,7 +153,8 @@ def _majorant_segment(scene, med_id, org, d, t_cur, t_hit):
     tcf = (chi - org) / safe_d
     t_exit = jnp.min(jnp.maximum(tcn, tcf))
     gx, gy = sres[0], sres[1]
-    idx = scene.svox_offset[dvol] + (cell[2] * gy + cell[1]) * gx + cell[0]
+    idx = row[MT_SOFF].astype(jnp.int32) + \
+        (cell[2] * gy + cell[1]) * gx + cell[0]
     maj_cell = scene.svox_data[idx]
 
     before = t_cur < t0
@@ -163,15 +168,17 @@ def _majorant_segment(scene, med_id, org, d, t_cur, t_hit):
                           jnp.where(after | (t0 > t1), INF,
                                     jnp.maximum(t_exit, tq)))
 
-    is_het = scene.med_type[med_id] == MED_HETEROGENEOUS
+    is_het = row[MT_TYPE] == MED_HETEROGENEOUS
     maj = jnp.where(is_het, maj_het, hom)
     t_end = jnp.where(is_het, jnp.minimum(t_end_het, t_hit), t_hit)
     return maj, t_end
 
 
 def _free_flight(scene, options, hs, org, d, med_id, t_hit,
-                 with_scatter):
+                 with_scatter, row=None):
     """Delta-tracking along [0, t_hit). hs: uint32 sub-stream root.
+    `row`: prefetched wide medium row (media.med_row) — passed by the
+    hot callers so the loop body does no medium-table gathers.
     Returns (transmittance, trans_dir_pdf, trans_nee_pdf, scatter,
     accum_t). with_scatter=False gives the ratio-tracking NEE variant (no
     real/null decision; transmittance picks up sigma_n).
@@ -183,7 +190,10 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
     deterministically to the segment end, multiplying all three products
     by exp(-majorant * dt) exactly like the reference's
     reached-the-surface branch (vol_path_tracing.h:607-612)."""
-    majorant0 = get_majorant(scene, med_id, org, d, t_hit)
+    from lajolla_tpu.integrators.media import med_row
+    if row is None:
+        row = med_row(scene, med_id)
+    majorant0 = get_majorant(scene, med_id, org, d, t_hit, row=row)
     channel = jnp.clip((_u(hs, 0) * 3).astype(jnp.int32), 0, 2)
     maj0_ch = majorant0[channel]
 
@@ -193,7 +203,7 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
 
     def body(st):
         (accum_t, it, trans, tdp, tnp, scatter, done) = st
-        majorant, t_end = _majorant_segment(scene, med_id, org, d,
+        majorant, t_end = _majorant_segment(scene, row, org, d,
                                             accum_t, t_hit)
         maj_ch = majorant[channel]
         max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
@@ -207,7 +217,7 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
         hit_end = ~in_flight & (t_end >= t_hit)
 
         p = org + d * t_next
-        sigma_s, sigma_a = _sigmas(scene, med_id, p)
+        sigma_s, sigma_a = _sigmas(scene, row, p)
         sigma_t = sigma_s + sigma_a
         sigma_n = majorant * (1.0 - sigma_t / jnp.maximum(majorant, 1e-20))
         real_prob = sigma_t / jnp.maximum(majorant, 1e-20)
@@ -268,7 +278,10 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
 # ---------------------------------------------------------------------------
 
 def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
-             hit):
+             hit, row=None):
+    from lajolla_tpu.integrators.media import med_row
+    if row is None:
+        row = med_row(scene, med_id)
     eps_shadow = shadow_eps(scene.meta.scene_radius)
     hs = _pcg_hash(hb + jnp.uint32(_S_NEE))
     u = jnp.stack([_u(hs, 0), _u(hs, 1), _u(hs, 2), _u(hs, 3)])
@@ -295,9 +308,10 @@ def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
             has_med = med >= 0
             hseg = _pcg_hash(hs ^ _pcg_hash(
                 sb.astype(jnp.uint32) + jnp.uint32(_S_NEE_SEG)))
+            row_seg = med_row(scene, med)
             trans, tdp, tnp, _sc, _at = _free_flight(
                 scene, options, hseg, p, dir_light, med, next_t,
-                with_scatter=False)
+                with_scatter=False, row=row_seg)
             Tl = jnp.where(has_med, Tl * trans, Tl)
             pn = jnp.where(has_med, pn * tnp, pn)
             pd = jnp.where(has_med, pd * tdp, pd)
@@ -333,9 +347,9 @@ def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
         ok = ok & (pdf_b > 0)
         pdf_dir = pdf_b * jac * p_dir_t
     else:
-        f = phase_eval(scene, med_id, dir_view, dir_light)
-        pdf_dir = phase_pdf(scene, med_id, dir_view, dir_light) * jac * \
-            p_dir_t
+        f = phase_eval(scene, med_id, dir_view, dir_light, row=row)
+        pdf_dir = phase_pdf(scene, med_id, dir_view, dir_light,
+                            row=row) * jac * p_dir_t
 
     contrib = Tl * f * Le * jac / jnp.maximum(_avg(pdf_nee), 1e-30)
     w = (pdf_nee * pdf_nee) / jnp.maximum(
@@ -368,11 +382,13 @@ def _advance_vol_lane(scene, options, st, su):
     hit = intersect_scene(scene, org, d, eps_isect, INF, radius, spread)
     t_hit = jnp.where(hit.valid, hit.t, INF)
 
+    from lajolla_tpu.integrators.media import med_row
+    mrow = med_row(scene, medium)   # ONE wide fetch per bounce
     in_medium = medium >= 0
     if scene.meta.num_media > 0:
         trans, tdp, tnp, scatter, accum_t = _free_flight(
             scene, options, _pcg_hash(hb + jnp.uint32(_S_FF)), org, d,
-            medium, t_hit, with_scatter=True)
+            medium, t_hit, with_scatter=True, row=mrow)
         trans = jnp.where(in_medium, trans, ones)
         tdp = jnp.where(in_medium, tdp, ones)
         tnp = jnp.where(in_medium, tnp, ones)
@@ -428,21 +444,21 @@ def _advance_vol_lane(scene, options, st, su):
 
     # ---- scatter in medium (:737-784) ----------------------------------
     do_scatter = active_work & scatter & in_medium
-    sigma_s = get_sigma_s(scene, medium, new_org)
+    sigma_s = get_sigma_s(scene, medium, new_org, row=mrow)
     nee_s = _vol_nee(scene, options, hb, new_org, medium, bounces,
-                     -d, False, hit)
+                     -d, False, hit, row=mrow)
     L = L + jnp.where(do_scatter, T * sigma_s * nee_s, 0.0)
     hph = _pcg_hash(hb + jnp.uint32(_S_PHASE))
     u_ph = jnp.stack([_u(hph, 0), _u(hph, 1)])
-    next_dir = phase_sample(scene, medium, -d, u_ph)
-    ph_pdf = phase_pdf(scene, medium, -d, next_dir)
-    ph_f = phase_eval(scene, medium, -d, next_dir)
+    next_dir = phase_sample(scene, medium, -d, u_ph, row=mrow)
+    ph_pdf = phase_pdf(scene, medium, -d, next_dir, row=mrow)
+    ph_f = phase_eval(scene, medium, -d, next_dir, row=mrow)
     T_scatter = T * (ph_f / jnp.maximum(ph_pdf, 1e-30)) * sigma_s
 
     # ---- surface interaction (:786-848) --------------------------------
     do_surface = active_work & ~scatter & hit.valid
     nee_b = _vol_nee(scene, options, _pcg_hash(hb + jnp.uint32(7)),
-                     new_org, medium, bounces, -d, True, hit)
+                     new_org, medium, bounces, -d, True, hit, row=mrow)
     L = L + jnp.where(do_surface, T * nee_b, 0.0)
     hbs = _pcg_hash(hb + jnp.uint32(_S_BSDF))
     u_b = jnp.stack([_u(hbs, 0), _u(hbs, 1), _u(hbs, 2)])

@@ -316,6 +316,12 @@ def compile_scene(b):
         med_albedo_vol[i] = m.albedo_vol
         med_density_vol[i] = m.density_vol
 
+    # one wide row per medium (scene/soa.py pattern): the volpath inner
+    # loops read medium properties per lane per iteration — narrow
+    # gathers there cost ~10 ns/lane each (~13 sites/bounce measured
+    # 2/3 of vol_cbox wall time); one one-hot MXU fetch replaces them.
+    # layout: [type, phase, g, dvol, avol, sa3, ss3, maxval3, pad2]
+
     def _super_majorants(g, gres):
         """Conservative per-supervoxel majorants for a (Z,Y,X,3) grid.
 
@@ -384,6 +390,28 @@ def compile_scene(b):
                    else np.zeros((1, 3))).astype(np.float32)
     svox_data = (np.concatenate(schunks) if schunks
                  else np.zeros((1, 3))).astype(np.float32)
+
+    # layout documented in media.py (MT_*/VL_* constants)
+    med_tab = np.zeros((nmed, 46), np.float32)
+    med_tab[:, 0] = med_type
+    med_tab[:, 1] = med_phase
+    med_tab[:, 2] = med_g
+    med_tab[:, 3] = med_density_vol
+    med_tab[:, 4] = med_albedo_vol
+    med_tab[:, 5:8] = med_sigma_a
+    med_tab[:, 8:11] = med_sigma_s
+    dv = np.maximum(med_density_vol, 0)
+    av = np.maximum(med_albedo_vol, 0)
+    med_tab[:, 11:14] = vol_maxval[dv]
+    med_tab[:, 14:17] = svox_res[dv]
+    med_tab[:, 17] = svox_offset[dv]
+    for c0, vi in ((18, dv), (32, av)):
+        med_tab[:, c0] = vol_kind[vi]
+        med_tab[:, c0 + 1:c0 + 4] = vol_const[vi]
+        med_tab[:, c0 + 4:c0 + 7] = vol_pmin[vi]
+        med_tab[:, c0 + 7:c0 + 10] = vol_pmax[vi]
+        med_tab[:, c0 + 10:c0 + 13] = vol_res[vi]
+        med_tab[:, c0 + 13] = vol_offset[vi]
 
     # --------------------------------------------------- merged wide-row tables
     # (scene/soa.py): one row fetch per record instead of many narrow
@@ -605,7 +633,7 @@ def compile_scene(b):
         vol_pmin=_f32(vol_pmin), vol_pmax=_f32(vol_pmax),
         vol_maxval=_f32(vol_maxval), volume_data=_f32(volume_data),
         svox_offset=_i32(svox_offset), svox_res=_i32(svox_res),
-        svox_data=_f32(svox_data),
+        svox_data=_f32(svox_data), med_tab=_f32(med_tab),
         tri_shade=_f32(tri_shade), shape_tab=_f32(shape_tab),
         light_tab=_f32(light_tab), mat_tab=_f32(mat_tab),
         tex_tab=_f32(tex_tab),

@@ -243,6 +243,7 @@ class Scene:
     svox_offset: Any     # (NV,) i32 into svox_data
     svox_res: Any        # (NV,3) i32 supervoxel majorant grid (gx,gy,gz)
     svox_data: Any       # (TOTS,3) f32 conservative per-supervoxel majorants
+    med_tab: Any         # (NM,16) f32 wide medium row (see compile.py)
 
     # --- merged wide-row tables (see scene/soa.py) ----------------------------
     tri_shade: Any       # (T, 25) f32 denormalized per-triangle shading record

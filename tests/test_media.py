@@ -144,9 +144,14 @@ def test_phase_normalization(hetvol_scene, g):
     the mean cosine (= g for HG)."""
     sc = hetvol_scene
     import dataclasses
+    from lajolla_tpu.integrators.media import MT_G, MT_PHASE
+    tab = np.asarray(sc.med_tab).copy()
+    tab[:, MT_PHASE] = 1.0
+    tab[:, MT_G] = g
     sc = dataclasses.replace(
         sc, med_g=jnp.full_like(sc.med_g, g),
-        med_phase_type=jnp.ones_like(sc.med_phase_type))
+        med_phase_type=jnp.ones_like(sc.med_phase_type),
+        med_tab=jnp.asarray(tab))
     med = jnp.int32(0)
     d_in = jnp.array([0.0, 0.0, 1.0])
     rng = np.random.default_rng(2)
