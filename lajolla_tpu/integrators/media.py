@@ -52,24 +52,19 @@ def lookup_volume_vrow(scene, vrow, p):
     x0 = jnp.clip(fx.astype(jnp.int32), 0, rx - 1)
     y0 = jnp.clip(fy.astype(jnp.int32), 0, ry - 1)
     z0 = jnp.clip(fz.astype(jnp.int32), 0, rz - 1)
-    x1 = jnp.minimum(x0 + 1, rx - 1)
-    y1 = jnp.minimum(y0 + 1, ry - 1)
-    z1 = jnp.minimum(z0 + 1, rz - 1)
     dx = fx - x0
     dy = fy - y0
     dz = fz - z0
 
-    def at(z, y, x):
-        return scene.volume_data[off + (z * ry + y) * rx + x]
-
-    val = (at(z0, y0, x0) * ((1 - dx) * (1 - dy) * (1 - dz)) +
-           at(z0, y0, x1) * (dx * (1 - dy) * (1 - dz)) +
-           at(z0, y1, x0) * ((1 - dx) * dy * (1 - dz)) +
-           at(z0, y1, x1) * (dx * dy * (1 - dz)) +
-           at(z1, y0, x0) * ((1 - dx) * (1 - dy) * dz) +
-           at(z1, y0, x1) * (dx * (1 - dy) * dz) +
-           at(z1, y1, x0) * ((1 - dx) * dy * dz) +
-           at(z1, y1, x1) * (dx * dy * dz))
+    # ONE octo-packed row gather (compile.py): node (z0,y0,x0) carries
+    # all 8 edge-clamped cell-corner values
+    c = scene.volume_data[off + (z0 * ry + y0) * rx + x0]   # (24,)
+    wx1, wy1, wz1 = dx, dy, dz
+    wx0, wy0, wz0 = 1.0 - dx, 1.0 - dy, 1.0 - dz
+    val = (c[0:3] * (wx0 * wy0 * wz0) + c[3:6] * (wx1 * wy0 * wz0) +
+           c[6:9] * (wx0 * wy1 * wz0) + c[9:12] * (wx1 * wy1 * wz0) +
+           c[12:15] * (wx0 * wy0 * wz1) + c[15:18] * (wx1 * wy0 * wz1) +
+           c[18:21] * (wx0 * wy1 * wz1) + c[21:24] * (wx1 * wy1 * wz1))
     grid_val = jnp.where(inside, val, 0.0)
     return jnp.where(kind == VOL_GRID, grid_val, const)
 

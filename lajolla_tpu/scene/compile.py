@@ -375,7 +375,26 @@ def compile_scene(b):
             vol_pmin[i] = v.pmin
             vol_pmax[i] = v.pmax
             vol_maxval[i] = g.reshape(-1, 3).max(0) * v.scale
-            vchunks.append(g.reshape(-1, 3) * v.scale)
+            # octo-packed rows: node (z,y,x) carries all 8 corners of its
+            # cell (edge-clamped), so one trilinear lookup is ONE wide
+            # gather instead of 8 narrow ones (the grid-media inner-loop
+            # hot spot; ~10 ns/lane/gather regardless of row width).
+            # 8x memory — hetvol-class grids are ~10 MB, so ~80 MB.
+            gs = g * v.scale
+            xi = np.minimum(np.arange(x) + 1, x - 1)
+            yi = np.minimum(np.arange(y) + 1, y - 1)
+            zi = np.minimum(np.arange(z) + 1, z - 1)
+            oct_ = np.concatenate([
+                gs,                      # c000
+                gs[:, :, xi],            # c001 (x+1)
+                gs[:, yi, :],            # c010 (y+1)
+                gs[:, yi][:, :, xi],     # c011
+                gs[zi],                  # c100 (z+1)
+                gs[zi][:, :, xi],        # c101
+                gs[zi][:, yi, :],        # c110
+                gs[zi][:, yi][:, :, xi]  # c111
+            ], axis=-1)
+            vchunks.append(oct_.reshape(-1, 24))
             voff += x * y * z
             gres = tuple(int(np.clip((r - 1 + 3) // 4, 1, 32))
                          for r in (x, y, z))
@@ -387,7 +406,7 @@ def compile_scene(b):
         else:
             vol_maxval[i] = vol_const[i]
     volume_data = (np.concatenate(vchunks) if vchunks
-                   else np.zeros((1, 3))).astype(np.float32)
+                   else np.zeros((1, 24))).astype(np.float32)
     svox_data = (np.concatenate(schunks) if schunks
                  else np.zeros((1, 3))).astype(np.float32)
 

@@ -239,7 +239,7 @@ class Scene:
     vol_pmin: Any        # (NV,3) f32
     vol_pmax: Any        # (NV,3) f32
     vol_maxval: Any      # (NV,3) f32  (max grid value × scale)
-    volume_data: Any     # (TOTALV,3) f32
+    volume_data: Any     # (TOTALV,24) f32 octo-packed cell corners (compile.py)
     svox_offset: Any     # (NV,) i32 into svox_data
     svox_res: Any        # (NV,3) i32 supervoxel majorant grid (gx,gy,gz)
     svox_data: Any       # (TOTS,3) f32 conservative per-supervoxel majorants
