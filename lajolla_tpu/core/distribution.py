@@ -85,8 +85,12 @@ def build_cdf_2d(weights):
 # ---------------------------------------------------------------------------
 
 def sample_cdf(cdf, u):
-    """Inverse-CDF sample: smallest i with cdf[i] >= u."""
-    i = jnp.searchsorted(cdf, u, side='left')
+    """Inverse-CDF sample: smallest i with cdf[i] >= u. Small tables use
+    a dense compare-sum (vector ops, no per-lane gathers under vmap)."""
+    if cdf.shape[0] <= 512:
+        i = jnp.sum((cdf < u).astype(jnp.int32))
+    else:
+        i = jnp.searchsorted(cdf, u, side='left')
     return jnp.clip(i, 0, cdf.shape[0] - 1)
 
 
@@ -114,3 +118,58 @@ def sample_cdf_2d(marg_cdf, cond_cdf, u):
     cond_p = row_cdf[col] - cond_lo
     du = jnp.where(cond_p > 0, (u[0] - cond_lo) / cond_p, 0.5)
     return row, col, jnp.stack([du, dv])
+
+
+# ---------------------------------------------------------------------------
+# Alias method (Walker/Vose) — O(1) discrete sampling.
+#
+# The CDF samplers above cost log(N) scalar gathers per lane under vmap
+# (and sample_cdf_2d gathers a whole W-wide conditional row); at 10 ns
+# per lane-gather that dominated NEE for envmap scenes. An alias table
+# needs ONE 2-float row gather per sample. The reference uses binary
+# CDF search (table_dist.h); the distribution sampled is identical.
+# ---------------------------------------------------------------------------
+
+def build_alias(weights):
+    """(M,) nonnegative weights -> (M, 2) f32 alias table rows
+    [acceptance threshold q_i, alias index]."""
+    w = np.asarray(weights, np.float64).ravel()
+    M = w.shape[0]
+    total = w.sum()
+    alias = np.arange(M)
+    if total <= 0 or M == 0:
+        return np.stack([np.ones(max(M, 1)),
+                         np.arange(max(M, 1))], axis=1).astype(np.float32)
+    q = w * (M / total)
+    small = [i for i in range(M) if q[i] < 1.0]
+    large = [i for i in range(M) if q[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        alias[s] = l
+        q[l] -= 1.0 - q[s]
+        (small if q[l] < 1.0 else large).append(l)
+    for i in small + large:
+        q[i] = 1.0
+    return np.stack([q, alias.astype(np.float64)], axis=1).astype(
+        np.float32)
+
+
+def sample_alias(table, u0, u1):
+    """One O(1) draw from an alias table. Returns (idx, du, dv): idx is
+    distributed proportionally to the build weights; du, dv are fresh
+    U[0,1) uniforms recovered from the consumed ones (du = the unused
+    fraction of u0's cell pick; dv = u1 remapped through the
+    accept/alias split), so callers need no extra random numbers."""
+    M = table.shape[0]
+    f = u0 * M
+    j = jnp.clip(f.astype(jnp.int32), 0, M - 1)
+    du = jnp.clip(f - j, 0.0, 1.0)
+    row = table[j]
+    q = row[0]
+    a = row[1].astype(jnp.int32)
+    take = u1 < q
+    idx = jnp.where(take, j, a)
+    dv = jnp.where(take, u1 / jnp.maximum(q, 1e-12),
+                   (u1 - q) / jnp.maximum(1.0 - q, 1e-12))
+    return idx, du, jnp.clip(dv, 0.0, 1.0 - 1e-7)

@@ -10,7 +10,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from lajolla_tpu.core.distribution import sample_cdf, sample_segmented, sample_cdf_2d
+from lajolla_tpu.core.distribution import (sample_alias, sample_cdf,
+                                           sample_cdf_2d, sample_segmented)
 from lajolla_tpu.core.math import (cross, dot, distance_squared, make_frame,
                                    normalize, to_world)
 from lajolla_tpu.core.transform import xform_vector
@@ -40,11 +41,23 @@ def light_pmf(scene, light_id):
     return fast_gather(scene.light_pmf, jnp.maximum(light_id, 0))
 
 
-def _sample_point_on_mesh(scene, shape_id, uv, w):
-    tri_id = sample_segmented(scene.tri_stair_cdf, shape_id, w)
+def _sample_point_on_mesh(scene, shape, uv, w):
+    """Area-weighted triangle pick via the per-shape alias table (ONE
+    row gather; replaces the log2(T)-gather staircase-CDF search) +
+    sqrt-uv barycentric point (triangle_mesh.inl:24-38). uv[0] doubles
+    as the accept/alias coin and is remapped back to U[0,1)."""
+    c = jnp.maximum(shape.prim_count, 1)
+    f = w * c.astype(jnp.float32)
+    j = shape.prim_start + jnp.clip(f.astype(jnp.int32), 0, c - 1)
+    row = scene.tri_alias[jnp.maximum(j, 0)]
+    q = row[0]
+    take = uv[0] < q
+    tri_id = jnp.where(take, j, row[1].astype(jnp.int32))
+    u0 = jnp.where(take, uv[0] / jnp.maximum(q, 1e-12),
+                   (uv[0] - q) / jnp.maximum(1.0 - q, 1e-12))
     tri = fetch_tri(scene, tri_id)
     v0, e1, e2 = tri.p0, tri.e1, tri.e2
-    a = jnp.sqrt(jnp.clip(uv[0], 0.0, 1.0))
+    a = jnp.sqrt(jnp.clip(u0, 0.0, 1.0))
     b1 = 1.0 - a
     b2 = a * uv[1]
     return LightPoint(position=v0 + e1 * b1 + e2 * b2,
@@ -124,7 +137,7 @@ def sample_point_on_light(scene, light_id, ref_point, uv, w):
         p_sph = _sample_point_on_sphere(scene, shape_c, ref_point, uv, sph_idx)
     mesh_valid = scene.meta.num_triangles > 0
     if mesh_valid:
-        p_mesh = _sample_point_on_mesh(scene, shape_c, uv, w)
+        p_mesh = _sample_point_on_mesh(scene, shape, uv, w)
     if scene.meta.num_spheres > 0 and mesh_valid:
         p_area = LightPoint(
             position=jnp.where(is_sphere, p_sph.position, p_mesh.position),
@@ -137,12 +150,14 @@ def sample_point_on_light(scene, light_id, ref_point, uv, w):
     if not scene.meta.has_envmap:
         return p_area
 
-    # envmap (envmap.inl:7-20)
-    row, col, duv = sample_cdf_2d(scene.env_marg_cdf, scene.env_cond_cdf,
-                                  uv)
+    # envmap (envmap.inl:7-20) — O(1) alias draw over the H*W luminance
+    # cells (ONE row gather; the CDF search gathered a whole W-wide
+    # conditional row per lane). Same distribution as the reference's
+    # binary search; env_pdf_uv is sampler-independent.
     h, wdt = scene.meta.env_res
-    ue = (col + duv[0]) / wdt
-    ve = (row + duv[1]) / h
+    cell, du, dv = sample_alias(scene.env_alias, uv[0], uv[1])
+    ue = (cell % wdt + du) / wdt
+    ve = (cell // wdt + dv) / h
     azimuth = ue * TWO_PI
     elevation = ve * PI
     local_dir = jnp.stack([jnp.sin(azimuth) * jnp.sin(elevation),

@@ -10,7 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from lajolla_tpu.core import transform as xf
-from lajolla_tpu.core.distribution import build_cdf_1d, build_segmented_cdf, build_cdf_2d
+from lajolla_tpu.core.distribution import (build_alias, build_cdf_1d,
+                                            build_segmented_cdf, build_cdf_2d)
 from lajolla_tpu.ops.bvh import build_bvh
 from lajolla_tpu.scene import types as T
 from lajolla_tpu.scene.types import Scene, SceneMeta
@@ -127,12 +128,20 @@ def compile_scene(b):
         # staircase segments must be keyed by SHAPE id for device sampling:
         # rebuild with shape-id offsets
         tri_stair = np.zeros(num_tris)
+        # per-shape alias tables in the same flat layout (device sampling
+        # is one row gather instead of a log2(T)-gather binary search;
+        # aliases are globalized by the segment offset)
+        tri_alias = np.zeros((num_tris, 2), np.float32)
         for r in mesh_rows:
             s0, c = shape_prim_start[r['sid']], shape_prim_count[r['sid']]
             _, cdf = build_cdf_1d(tri_area[s0:s0 + c])
             tri_stair[s0:s0 + c] = r['sid'] + cdf
+            al = build_alias(tri_area[s0:s0 + c])
+            al[:, 1] += s0
+            tri_alias[s0:s0 + c] = al
     else:
         tri_stair = np.zeros(max(num_tris, 1))
+        tri_alias = np.zeros((max(num_tris, 1), 2), np.float32)
 
     # ------------------------------------------------ Woop transforms (MXU)
     # Per-triangle affine map into unit-triangle space: x' = W x + b with
@@ -261,6 +270,7 @@ def compile_scene(b):
     env_cond_cdf = np.zeros((1, 1))
     env_marg_cdf = np.ones(1)
     env_pdf_uv = np.zeros((1, 1))
+    env_alias = np.zeros((1, 2), np.float32)
     env_total = 0.0
 
     for i, l in enumerate(b.lights):
@@ -284,6 +294,7 @@ def compile_scene(b):
             env_marg_cdf = d2['marg_cdf']
             env_pdf_uv = d2['cond_pmf'] * d2['marg_pmf'][:, None] * w * h
             env_total = float(f.sum())
+            env_alias = build_alias(f.ravel())
 
     # power-weighted light pick CDF (scene.cpp:46-52)
     powers = np.zeros(nl)
@@ -449,7 +460,7 @@ def compile_scene(b):
         tri_shade[:, 22:24] = uv_arr[indices[:, 2]]
         tri_shade[:, 24] = tri_shape
 
-    shape_tab = np.zeros((ns, 9), np.float32)
+    shape_tab = np.zeros((ns, 10), np.float32)
     shape_tab[:, 0] = shape_material
     shape_tab[:, 1] = shape_light
     shape_tab[:, 2] = shape_int_med
@@ -459,6 +470,7 @@ def compile_scene(b):
     shape_tab[:, 6] = shape_has_n
     shape_tab[:, 7] = shape_has_uv
     shape_tab[:, 8] = shape_area
+    shape_tab[:, 9] = shape_prim_count
 
     light_tab = np.zeros((nl, 6), np.float32)
     light_tab[:, 0] = light_type
@@ -631,6 +643,7 @@ def compile_scene(b):
         shape_prim_count=_i32(shape_prim_count), shape_area=_f32(shape_area),
         shape_has_normals=_i32(shape_has_n), shape_has_uvs=_i32(shape_has_uv),
         tri_stair_cdf=_f32(tri_stair), tri_area=_f32(tri_area),
+        tri_alias=_f32(tri_alias),
         mat_type=_i32(mat_type), mat_tex=_i32(mat_tex), mat_eta=_f32(mat_eta),
         tex_kind=_i32(tex_kind), tex_const=_f32(tex_const),
         tex_color1=_f32(tex_color1), tex_image=_i32(tex_image),
@@ -643,6 +656,7 @@ def compile_scene(b):
         env_to_world=_f32(env_to_world), env_to_local=_f32(env_to_local),
         env_scale=_f32(env_scale), env_cond_cdf=_f32(env_cond_cdf),
         env_marg_cdf=_f32(env_marg_cdf), env_pdf_uv=_f32(env_pdf_uv),
+        env_alias=_f32(env_alias),
         med_type=_i32(med_type), med_sigma_a=_f32(med_sigma_a),
         med_sigma_s=_f32(med_sigma_s), med_phase_type=_i32(med_phase),
         med_g=_f32(med_g), med_albedo_vol=_i32(med_albedo_vol),

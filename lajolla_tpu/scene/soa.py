@@ -49,6 +49,7 @@ class ShapeRec(NamedTuple):
     exterior_med: jnp.ndarray
     type: jnp.ndarray
     prim_start: jnp.ndarray
+    prim_count: jnp.ndarray
     has_normals: jnp.ndarray
     has_uvs: jnp.ndarray
     area: jnp.ndarray
@@ -62,7 +63,8 @@ def fetch_shape(scene, shape_id):
     i = lambda c: row[c].astype(jnp.int32)
     return ShapeRec(material_id=i(0), light_id=i(1), interior_med=i(2),
                     exterior_med=i(3), type=i(4), prim_start=i(5),
-                    has_normals=i(6), has_uvs=i(7), area=row[8])
+                    prim_count=i(9), has_normals=i(6), has_uvs=i(7),
+                    area=row[8])
 
 
 class LightRec(NamedTuple):

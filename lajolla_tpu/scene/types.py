@@ -191,6 +191,7 @@ class Scene:
     shape_has_normals: Any    # (NS,) i32
     shape_has_uvs: Any        # (NS,) i32
     tri_stair_cdf: Any        # (T,) f32 staircase CDF (segment = shape) for triangle pick
+    tri_alias: Any            # (T,2) f32 per-shape alias tables (globalized aliases)
     tri_area: Any             # (T,) f32
 
     # --- materials ----------------------------------------------------------
@@ -223,6 +224,7 @@ class Scene:
     env_cond_cdf: Any    # (H,W) f32
     env_marg_cdf: Any    # (H,) f32
     env_pdf_uv: Any      # (H,W) f32 sampling density over [0,1]^2
+    env_alias: Any       # (H*W,2) f32 alias table over envmap cells
 
     # --- media + volumes ------------------------------------------------------
     med_type: Any        # (NM,) i32
@@ -247,7 +249,7 @@ class Scene:
 
     # --- merged wide-row tables (see scene/soa.py) ----------------------------
     tri_shade: Any       # (T, 25) f32 denormalized per-triangle shading record
-    shape_tab: Any       # (NS, 9) f32
+    shape_tab: Any       # (NS, 10) f32
     light_tab: Any       # (L, 6) f32
     mat_tab: Any         # (M, 15) f32
     tex_tab: Any         # (NT, 12) f32
