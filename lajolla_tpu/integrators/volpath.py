@@ -268,13 +268,448 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
     ones = jnp.ones(3)
     init = (jnp.float32(0.0), jnp.int32(0), ones, ones, ones,
             jnp.bool_(False), jnp.bool_(False))
+    from lajolla_tpu.scene.types import MED_HETEROGENEOUS
+    if MED_HETEROGENEOUS not in scene.meta.med_types_present:
+        # homogeneous media: majorant == sigma_t, so real_prob == 1 and
+        # the very first iteration terminates (real collision or reached
+        # t_hit; the NEE variant dies on sigma_n == 0 or reaches t_hit)
+        # — ONE unrolled body call, no lockstep while_loop at all
+        init = jax.lax.cond(maj0_ch > 0, body, lambda st: st, init)
+        (accum_t, _it, trans, tdp, tnp, scatter, _done) = init
+        return trans, tdp, tnp, scatter, accum_t
     (accum_t, _it, trans, tdp, tnp, scatter, _done) = \
         jax.lax.while_loop(cond, body, init)
     return trans, tdp, tnp, scatter, accum_t
 
 
 # ---------------------------------------------------------------------------
-# Volumetric NEE (vol_path_tracing.h:299-495)
+# The phase machine (round 2).
+#
+# The reference integrator (vol_path_tracing.h:503-869) is three nested
+# stochastic loops: bounces x null-collisions x shadow-ray segments
+# (each segment with its own null-collision loop). vmapped
+# `lax.while_loop`s run those loops in LOCKSTEP: every nesting level
+# costs the batch MAX of its iteration count (measured on hetvol: the
+# free-flight loop has mean 2 iterations but max ~91 -> ~45x wasted
+# work; the shadow chain adds another x16). The TPU-native shape is ONE
+# flat loop over *events*: each outer iteration advances every lane by
+# one bounded event — a main-ray cast, K null-collision steps, a vertex,
+# a shadow-segment cast, or K shadow null-collision steps — so total
+# iterations track the MEAN number of events per path, not the product
+# of per-loop maxima. Physics, MIS caches and RNG streams are identical
+# to the nested form (same per-(item,bounce) counter-hash cells).
+# ---------------------------------------------------------------------------
+
+PH_CAST = 0    # cast main ray, init free flight, step it
+PH_FF = 1      # continue main free flight
+PH_VTX = 2     # process vertex: emission MIS, NEE setup, continuation
+PH_SHC = 3     # cast next shadow segment, init+step its free flight
+PH_SHF = 4     # continue shadow-segment free flight
+K_FF = 8       # free-flight steps per outer iteration (p90 of hetvol)
+
+
+def _ff_steps(scene, options, row, hs, org, d, t_hit, wsc, go, fst):
+    """K_FF bounded delta/ratio-tracking steps (the body of _free_flight
+    with per-lane `wsc` = with_scatter and carried state). fst =
+    (ff_t, it, trans, tdp, tnp, scatter, done)."""
+    channel = jnp.clip((_u(hs, 0) * 3).astype(jnp.int32), 0, 2)
+
+    def step(_, st):
+        (accum_t, it, trans, tdp, tnp, scatter, dn) = st
+        live = go & ~dn & (it < options.max_null_collisions)
+        majorant, t_end = _majorant_segment(scene, row, org, d,
+                                            accum_t, t_hit)
+        maj_ch = majorant[channel]
+        max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
+        u = jnp.stack([_uit(hs, it, 0), _uit(hs, it, 1)])
+        t = jnp.where(maj_ch > 0,
+                      -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) /
+                      jnp.maximum(maj_ch, 1e-20), INF)
+        dt = t_end - accum_t
+        t_next = jnp.minimum(accum_t + t, t_end)
+        in_flight = t < dt
+        hit_end = ~in_flight & (t_end >= t_hit)
+
+        p = org + d * t_next
+        sigma_s, sigma_a = _sigmas(scene, row, p)
+        sigma_t = sigma_s + sigma_a
+        sigma_n = majorant * (1.0 - sigma_t / jnp.maximum(majorant, 1e-20))
+        real_prob = sigma_t / jnp.maximum(majorant, 1e-20)
+        att = jnp.exp(-majorant * jnp.minimum(t, 1e30))
+        att_dt = jnp.exp(-majorant * jnp.minimum(dt, 1e30))
+
+        is_real = wsc & (u[1] < real_prob[channel])
+        trans_n = jnp.where(
+            in_flight,
+            jnp.where(is_real, trans * att / max_maj,
+                      trans * att * sigma_n / max_maj),
+            trans * att_dt)
+        tdp_n = jnp.where(
+            in_flight,
+            jnp.where(is_real,
+                      tdp * att * majorant * real_prob / max_maj,
+                      tdp * att * majorant * (1.0 - real_prob) / max_maj),
+            tdp * att_dt)
+        tnp_n = jnp.where(
+            in_flight,
+            jnp.where(is_real, tnp, tnp * att * majorant / max_maj),
+            tnp * att_dt)
+        scatter_n = scatter | (in_flight & is_real)
+        dn_n = dn | hit_end | (in_flight & is_real) | \
+            (~wsc & (jnp.max(trans_n) <= 0)) | \
+            (it + 1 >= options.max_null_collisions)
+
+        sel = lambda a, b: jnp.where(live, a, b)
+        sel3 = sel
+        return (sel(t_next, accum_t), sel(it + 1, it),
+                sel3(trans_n, trans), sel3(tdp_n, tdp), sel3(tnp_n, tnp),
+                sel(scatter_n, scatter), sel(dn_n, dn))
+
+    return jax.lax.fori_loop(0, K_FF, step, fst)
+
+
+# ---------------------------------------------------------------------------
+# The final integrator as a flat event machine
+# (vol_path_tracing.h:503-869 main loop; :299-495 NEE)
+# ---------------------------------------------------------------------------
+
+def _advance_event(scene, options, st, su):
+    """Advance one lane by one greedy event step. Each outer iteration
+    performs AT MOST one scene cast per lane — the main ray for lanes
+    starting a bounce, or the next shadow segment for lanes walking an
+    NEE chain — then K bounded free-flight steps, and, for lanes whose
+    main free flight finished THIS iteration, the full vertex
+    (emission MIS, NEE setup, continuation sampling, RR) immediately: a
+    bounce is 2 iterations in the common case (main cast+ff+vertex;
+    shadow cast+walk+completion). Returns (new_state, died).
+
+    The vertex step is a verbatim port of the reference bounce body
+    (vol_path_tracing.h:503-869); NEE (:299-495) is split into a
+    vertex-time factor (f*Le*jac + base pdfs, cached in cb/pdfb/pdfd/
+    tsc) and the shadow-walk products (sh_T/sh_pn/sh_pd), combined at
+    chain completion — algebraically identical to the nested form."""
+    (item, org, d, medium, T, L, bounces, dir_pdf, nee_p, mtp,
+     eta_scale, spread, radius, ph,
+     mc_t, mc_prim, mc_u, mc_v, mc_sph,
+     ff_hs, ff_t, ff_it, ff_tr, ff_dp, ff_np, ff_sc, ff_dn,
+     sh_p, sh_dir, sh_med, sh_seg, sh_T, sh_pn, sh_pd, lp_pos,
+     nb_hs, cb, pdfb, pdfd, tsc,
+     sg_t, sg_valid, sg_opaque, sg_dblock, sg_mednext,
+     v_alive, done) = st
+    from lajolla_tpu.integrators.media import med_row
+    from lajolla_tpu.scene.geometry import cast_scene, hit_from_cast
+    eps_i = intersection_eps(scene.meta.scene_radius)
+    eps_s = shadow_eps(scene.meta.scene_radius)
+    max_depth = options.max_depth
+    ones = jnp.ones(3)
+    zeros = jnp.zeros(3)
+    alive_l = ~done
+
+    in_cast = alive_l & (ph == PH_CAST)
+    in_ff = alive_l & (ph == PH_FF)
+    in_shc = alive_l & (ph == PH_SHC)
+    in_shf = alive_l & (ph == PH_SHF)
+    is_sh = in_shc | in_shf
+
+    hb = _pcg_hash(item.astype(jnp.uint32) ^
+                   _pcg_hash(bounces.astype(jnp.uint32) ^ su))
+    mrow = med_row(scene, medium)
+    in_medium = medium >= 0
+
+    # ---- unified raw cast: main ray (PH_CAST) or shadow segment (PH_SHC)
+    dist_l = distance(sh_p, lp_pos)
+    cast_o = jnp.where(in_shc, sh_p, org)
+    cast_d = jnp.where(in_shc, sh_dir, d)
+    cast_near = jnp.where(in_shc, eps_s, eps_i)
+    cast_far = jnp.where(in_shc, (1.0 - eps_s) * dist_l, INF)
+    rt, rprim, rbu, rbv, rsph = cast_scene(scene, cast_o, cast_d,
+                                           cast_near, cast_far)
+    mc_t = jnp.where(in_cast, rt, mc_t)
+    mc_prim = jnp.where(in_cast, rprim, mc_prim)
+    mc_u = jnp.where(in_cast, rbu, mc_u)
+    mc_v = jnp.where(in_cast, rbv, mc_v)
+    mc_sph = jnp.where(in_cast, rsph, mc_sph)
+
+    # ---- ONE record build: shadow-cast lanes from the fresh raw tuple,
+    # everyone else from the cached main cast (== fresh for PH_CAST)
+    b_raw = (jnp.where(in_shc, rt, mc_t),
+             jnp.where(in_shc, rprim, mc_prim),
+             jnp.where(in_shc, rbu, mc_u),
+             jnp.where(in_shc, rbv, mc_v),
+             jnp.where(in_shc, rsph, mc_sph))
+    b_o = jnp.where(in_shc, cast_o, org)
+    b_d = jnp.where(in_shc, cast_d, d)
+    hit = hit_from_cast(scene, b_o, b_d, b_raw, radius, spread)
+
+    # ---- main free-flight init (PH_CAST) --------------------------------
+    hs_ff0 = _pcg_hash(hb + jnp.uint32(_S_FF))
+    t_hit_new = jnp.where(rt < INF, rt, INF)
+    maj0 = get_majorant(scene, medium, org, d, t_hit_new, row=mrow)
+    ch0 = jnp.clip((_u(hs_ff0, 0) * 3).astype(jnp.int32), 0, 2)
+    ff_trivial = (medium < 0) | (maj0[ch0] <= 0) | \
+        (scene.meta.num_media == 0)
+
+    # ---- shadow-segment setup (PH_SHC) ----------------------------------
+    sg_valid_n = rt < INF
+    seg_next_t = jnp.where(sg_valid_n, distance(sh_p, hit.position),
+                           dist_l)
+    sg_opaque_n = sg_valid_n & (hit.material_id >= 0)
+    # bounces was already incremented at the vertex -> pre-vertex value
+    # is bounces-1 (reference depth check, :437-446)
+    sg_dblock_n = sg_valid_n & (max_depth != -1) & \
+        (bounces - 1 + sh_seg + 1 >= max_depth)
+    sg_mednext_n = update_medium(hit, sh_dir, sh_med)
+    sg_t = jnp.where(in_shc, seg_next_t, sg_t)
+    sg_valid = jnp.where(in_shc, sg_valid_n, sg_valid)
+    sg_opaque = jnp.where(in_shc, sg_opaque_n, sg_opaque)
+    sg_dblock = jnp.where(in_shc, sg_dblock_n, sg_dblock)
+    sg_mednext = jnp.where(in_shc, sg_mednext_n, sg_mednext)
+    hseg = _pcg_hash(nb_hs ^ _pcg_hash(
+        sh_seg.astype(jnp.uint32) + jnp.uint32(_S_NEE_SEG)))
+    srow = med_row(scene, sh_med)
+    smaj0 = get_majorant(scene, sh_med, sh_p, sh_dir, seg_next_t, row=srow)
+    sch0 = jnp.clip((_u(hseg, 0) * 3).astype(jnp.int32), 0, 2)
+    sff_trivial = (sh_med < 0) | (smaj0[sch0] <= 0) | \
+        (scene.meta.num_media == 0)
+
+    # reset ff state on entry (the slots are shared: the main products
+    # are consumed at the vertex before any shadow segment uses them)
+    entry = in_cast | in_shc
+    ff_hs = jnp.where(in_cast, hs_ff0, jnp.where(in_shc, hseg, ff_hs))
+    ff_t = jnp.where(entry, 0.0, ff_t)
+    ff_it = jnp.where(entry, 0, ff_it)
+    ff_tr = jnp.where(entry, ones, ff_tr)
+    ff_dp = jnp.where(entry, ones, ff_dp)
+    ff_np = jnp.where(entry, ones, ff_np)
+    ff_sc = jnp.where(entry, False, ff_sc)
+    ff_dn = jnp.where(in_cast, ff_trivial,
+                      jnp.where(in_shc, sff_trivial, ff_dn))
+
+    # ---- K bounded free-flight steps (all four phases) ------------------
+    f_row = jnp.where(is_sh, srow, mrow)
+    f_org = jnp.where(is_sh, sh_p, org)
+    f_dir = jnp.where(is_sh, sh_dir, d)
+    f_thit = jnp.where(is_sh, sg_t, jnp.where(mc_t < INF, mc_t, INF))
+    go = in_cast | in_ff | is_sh
+    wsc = ~is_sh & in_medium
+    (ff_t, ff_it, ff_tr, ff_dp, ff_np, ff_sc, ff_dn) = _ff_steps(
+        scene, options, f_row, ff_hs, f_org, f_dir, f_thit, wsc, go,
+        (ff_t, ff_it, ff_tr, ff_dp, ff_np, ff_sc, ff_dn))
+
+    ph = jnp.where((in_cast | in_ff) & ~ff_dn, PH_FF, ph)
+    seg_ff_done = is_sh & ff_dn
+    ph = jnp.where(is_sh & ~ff_dn, PH_SHF, ph)
+
+    # ---- shadow-segment wrap-up -----------------------------------------
+    has_med_seg = sh_med >= 0
+    sh_T = jnp.where(seg_ff_done & has_med_seg, sh_T * ff_tr, sh_T)
+    sh_pn = jnp.where(seg_ff_done & has_med_seg, sh_pn * ff_np, sh_pn)
+    sh_pd = jnp.where(seg_ff_done & has_med_seg, sh_pd * ff_dp, sh_pd)
+    blocked = sg_opaque | sg_dblock
+    cont_chain = seg_ff_done & sg_valid & ~blocked & \
+        (sh_seg + 1 < MAX_SHADOW_SEGMENTS)
+    sh_med = jnp.where(cont_chain, sg_mednext, sh_med)
+    sh_p = jnp.where(cont_chain, sh_p + sg_t * sh_dir, sh_p)
+    sh_seg = jnp.where(seg_ff_done, sh_seg + 1, sh_seg)
+    ph = jnp.where(cont_chain, PH_SHC, ph)
+    chain_done = seg_ff_done & ~cont_chain
+
+    # ---- NEE completion (chain_done) ------------------------------------
+    ok = ~blocked & (jnp.max(sh_T) > 0)
+    pdf_nee = pdfb * sh_pn
+    contrib = sh_T * cb / jnp.maximum(_avg(pdf_nee), 1e-30)
+    pdf_dir3 = pdfd * sh_pd
+    wmis = (pdf_nee * pdf_nee) / jnp.maximum(
+        pdf_nee * pdf_nee + pdf_dir3 * pdf_dir3, 1e-30)
+    nee_out = jnp.where(ok, contrib * wmis, zeros)
+    L = L + jnp.where(chain_done, tsc * nee_out, 0.0)
+    nee_p = jnp.where(chain_done & (jnp.max(nee_out) > 0), org, nee_p)
+    cont_ok = v_alive & (bounces < MAX_BOUNCES_CAP)
+    died_c = chain_done & ~cont_ok
+    ph = jnp.where(chain_done & cont_ok, PH_CAST, ph)
+
+    # ---- VERTEX: runs the same iteration the main free flight ends ------
+    # (verbatim port of the reference bounce body)
+    vready = (in_cast | in_ff) & ff_dn
+    active = vready
+    trans = jnp.where(in_medium, ff_tr, ones)
+    tdp = jnp.where(in_medium, ff_dp, ones)
+    tnp = jnp.where(in_medium, ff_np, ones)
+    scatter = ff_sc & in_medium
+    mtp_v = jnp.where(in_medium, mtp * tdp, mtp)
+    scatter_pos = org + d * ff_t
+    hit_valid = mc_t < INF
+
+    # vacuum miss: the fork discards the path entirely (:634-641)
+    vacuum_miss = ~in_medium & ~hit_valid
+    L = jnp.where(active & vacuum_miss, 0.0, L)
+    active = active & ~vacuum_miss
+
+    new_org = jnp.where(scatter, scatter_pos,
+                        jnp.where(hit_valid, hit.position, org))
+    T_v = T * trans / jnp.maximum(_avg(tdp), 1e-30)
+    t_adv = jnp.where(scatter, ff_t, jnp.where(hit_valid, hit.t, 0.0))
+    radius_v = radius + spread * t_adv
+
+    # emission (:652-711)
+    hit_light = active & ~scatter & hit_valid & (hit.light_id >= 0)
+    Le = emission_area(scene, hit.light_id, hit.geometry_normal, -d)
+    lp2 = LightPoint(position=hit.position, normal=hit.geometry_normal)
+    pdf_nee_l = light_pmf(scene, hit.light_id) * \
+        pdf_point_on_light(scene, hit.light_id, lp2, nee_p) * tnp
+    jac_l = jnp.maximum(-dot(-d, hit.geometry_normal), 0.0) / \
+        jnp.maximum(distance_squared(nee_p, hit.position), 1e-20)
+    pdf_phase_l = dir_pdf * mtp_v * jac_l
+    w_l = (pdf_phase_l * pdf_phase_l) / jnp.maximum(
+        pdf_phase_l * pdf_phase_l + pdf_nee_l * pdf_nee_l, 1e-30)
+    first = bounces == 0
+    L = L + jnp.where(hit_light,
+                      T_v * Le * jnp.where(first, ones, w_l), 0.0)
+    active = active & ~(hit_light & first)  # :668 returns at bounce 0
+
+    # index-matching pass-through (:716-726)
+    pass_through = active & ~scatter & hit_valid & (hit.material_id < 0)
+    medium_pt = update_medium(hit, d, medium)
+
+    # depth limit (:731-733)
+    depth_stop = (max_depth != -1) & (bounces >= max_depth - 1)
+    active_work = active & ~pass_through & ~depth_stop
+    active = active & ~(depth_stop & ~pass_through)
+    active = active & (scatter | hit_valid)
+
+    # scatter in medium (:737-784)
+    do_scatter = active_work & scatter & in_medium
+    sigma_s = get_sigma_s(scene, medium, new_org, row=mrow)
+    hph = _pcg_hash(hb + jnp.uint32(_S_PHASE))
+    u_ph = jnp.stack([_u(hph, 0), _u(hph, 1)])
+    next_dir = phase_sample(scene, medium, -d, u_ph, row=mrow)
+    ph_pdf = phase_pdf(scene, medium, -d, next_dir, row=mrow)
+    ph_f = phase_eval(scene, medium, -d, next_dir, row=mrow)
+    T_scatter = T_v * (ph_f / jnp.maximum(ph_pdf, 1e-30)) * sigma_s
+
+    # surface interaction (:786-848)
+    do_surface = active_work & ~scatter & hit_valid
+    hbs = _pcg_hash(hb + jnp.uint32(_S_BSDF))
+    u_b = jnp.stack([_u(hbs, 0), _u(hbs, 1), _u(hbs, 2)])
+    rec = sample_bsdf(scene, hit.material_id, -d, hit, u_b[0:2], u_b[2])
+    f_b = eval_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
+    pdf_b = pdf_bsdf(scene, hit.material_id, -d, rec.dir_out, hit)
+    bsdf_ok = rec.valid & (pdf_b > 0)
+    active = active & ~(do_surface & ~bsdf_ok)
+    is_refract = rec.eta != 0.0
+    eta_v = jnp.where(do_surface & is_refract,
+                      eta_scale / jnp.maximum(rec.eta * rec.eta, 1e-12),
+                      eta_scale)
+    medium_sf = jnp.where(is_refract,
+                          update_medium(hit, rec.dir_out, medium), medium)
+    T_surface = T_v * f_b / jnp.maximum(pdf_b, 1e-30)
+    new_spread = jnp.where(
+        is_refract,
+        _ray_diff_refract(spread, radius_v, hit.mean_curvature,
+                          jnp.maximum(rec.eta, 1e-6), rec.roughness),
+        _ray_diff_reflect(spread, radius_v, hit.mean_curvature,
+                          rec.roughness))
+    spread_v = jnp.where(do_surface, new_spread, spread)
+
+    # NEE setup (vertex-time half of vol_path_tracing.h:299-495): light
+    # pick + point + the direction-independent factors; the shadow walk
+    # accumulates the transmittance/pdf products event by event
+    with_nee = do_scatter | do_surface
+    hb_eff = jnp.where(do_surface, _pcg_hash(hb + jnp.uint32(7)), hb)
+    nb_hs_v = _pcg_hash(hb_eff + jnp.uint32(_S_NEE))
+    u_n = jnp.stack([_u(nb_hs_v, 0), _u(nb_hs_v, 1), _u(nb_hs_v, 2),
+                     _u(nb_hs_v, 3)])
+    light_id = sample_light(scene, u_n[2])
+    lp = sample_point_on_light(scene, light_id, new_org, u_n[0:2], u_n[3])
+    dir_l_v = normalize(lp.position - new_org)
+    Le_n = emission_area(scene, light_id, lp.normal, -dir_l_v)
+    jac_n = jnp.maximum(-dot(dir_l_v, lp.normal), 0.0) / \
+        jnp.maximum(distance_squared(new_org, lp.position), 1e-20)
+    pdfb_v = light_pmf(scene, light_id) * \
+        pdf_point_on_light(scene, light_id, lp, new_org)
+    f_ph = phase_eval(scene, medium, -d, dir_l_v, row=mrow)
+    pdf_ph = phase_pdf(scene, medium, -d, dir_l_v, row=mrow)
+    f_bs = eval_bsdf(scene, hit.material_id, -d, dir_l_v, hit)
+    pdf_bs = pdf_bsdf(scene, hit.material_id, -d, dir_l_v, hit)
+    cb_v = jnp.where(do_surface,
+                     jnp.where(pdf_bs > 0, f_bs, zeros),
+                     f_ph) * Le_n * jac_n
+    pdfd_v = jnp.where(do_surface, pdf_bs, pdf_ph) * jac_n
+    tsc_v = jnp.where(do_scatter, T_v * sigma_s, T_v)
+
+    # merge continuation — applied NOW; the chain carries only v_alive
+    d_next = jnp.where(do_scatter, next_dir,
+                       jnp.where(do_surface, rec.dir_out, d))
+    T_n = jnp.where(do_scatter, T_scatter,
+                    jnp.where(do_surface, T_surface, T_v))
+    medium_n = jnp.where(pass_through, medium_pt,
+                         jnp.where(do_surface, medium_sf, medium))
+    dir_pdf_n = jnp.where(do_scatter, ph_pdf, dir_pdf)
+    mtp_n = jnp.where(do_scatter, ones, mtp_v)
+
+    # russian roulette (:851-862)
+    do_rr = (bounces >= options.rr_depth) & active & ~pass_through
+    rr_prob = jnp.where(do_rr,
+                        jnp.minimum(jnp.max(T_n / eta_v), 0.95), 1.0)
+    u_rr = _u(_pcg_hash(hb + jnp.uint32(_S_RR)), 0)
+    active = active & ~(do_rr & (u_rr > rr_prob))
+    T_n = jnp.where(do_rr, T_n / jnp.maximum(rr_prob, 1e-20), T_n)
+
+    # ---- apply vertex results -------------------------------------------
+    v = vready
+    med_vertex = medium              # the chain walks the VERTEX medium
+    org = jnp.where(v, new_org, org)
+    d = jnp.where(v, d_next, d)
+    T = jnp.where(v, T_n, T)
+    medium = jnp.where(v, medium_n, medium)
+    bounces = jnp.where(v, bounces + 1, bounces)
+    dir_pdf = jnp.where(v, dir_pdf_n, dir_pdf)
+    mtp = jnp.where(v, mtp_n, mtp)
+    eta_scale = jnp.where(v, eta_v, eta_scale)
+    spread = jnp.where(v, spread_v, spread)
+    radius = jnp.where(v, radius_v, radius)
+    v_alive = jnp.where(v, active, v_alive)
+
+    # shadow chain init / direct continuation
+    start_chain = v & with_nee
+    sh_p = jnp.where(start_chain, new_org, sh_p)
+    sh_dir = jnp.where(start_chain, dir_l_v, sh_dir)
+    sh_med = jnp.where(start_chain, med_vertex, sh_med)
+    sh_seg = jnp.where(start_chain, 0, sh_seg)
+    sh_T = jnp.where(start_chain, ones, sh_T)
+    sh_pn = jnp.where(start_chain, ones, sh_pn)
+    sh_pd = jnp.where(start_chain, ones, sh_pd)
+    lp_pos = jnp.where(start_chain, lp.position, lp_pos)
+    nb_hs = jnp.where(start_chain, nb_hs_v, nb_hs)
+    cb = jnp.where(start_chain, cb_v, cb)
+    pdfb = jnp.where(start_chain, pdfb_v, pdfb)
+    pdfd = jnp.where(start_chain, pdfd_v, pdfd)
+    tsc = jnp.where(start_chain, tsc_v, tsc)
+    ph = jnp.where(start_chain, PH_SHC, ph)
+
+    cont_now = v & ~with_nee & active        # pass-through only
+    ph = jnp.where(cont_now, PH_CAST, ph)
+    died_v = v & ~with_nee & ~active
+
+    died = (died_v | died_c) & ~done
+    nst = (item, org, d, medium, T, L, bounces, dir_pdf, nee_p, mtp,
+           eta_scale, spread, radius, ph,
+           mc_t, mc_prim, mc_u, mc_v, mc_sph,
+           ff_hs, ff_t, ff_it, ff_tr, ff_dp, ff_np, ff_sc, ff_dn,
+           sh_p, sh_dir, sh_med, sh_seg, sh_T, sh_pn, sh_pd, lp_pos,
+           nb_hs, cb, pdfb, pdfd, tsc,
+           sg_t, sg_valid, sg_opaque, sg_dblock, sg_mednext,
+           v_alive, done)
+    return nst, died
+
+
+# ---------------------------------------------------------------------------
+# Nested-loop advance (used for scenes with ONLY homogeneous media,
+# where the closed-form free flight makes the classic one-bounce-per-
+# iteration wavefront cheaper than the event machine: each bounce pays
+# one vertex body instead of ~3 predicated ones. Grid-media scenes
+# dispatch to _advance_event — their free-flight lockstep tails
+# (mean 2 / max ~91 iterations) dominate the nested form.)
 # ---------------------------------------------------------------------------
 
 def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
@@ -340,26 +775,23 @@ def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
     pdf_nee = light_pmf(scene, light_id) * \
         pdf_point_on_light(scene, light_id, lp, p_origin) * p_nee
 
-    if is_surface:
-        mat_id = hit.material_id
-        f = eval_bsdf(scene, mat_id, dir_view, dir_light, hit)
-        pdf_b = pdf_bsdf(scene, mat_id, dir_view, dir_light, hit)
-        ok = ok & (pdf_b > 0)
-        pdf_dir = pdf_b * jac * p_dir_t
-    else:
-        f = phase_eval(scene, med_id, dir_view, dir_light, row=row)
-        pdf_dir = phase_pdf(scene, med_id, dir_view, dir_light,
-                            row=row) * jac * p_dir_t
+    # is_surface is a TRACED per-lane bool: the caller evaluates NEE
+    # once per bounce with the shared shadow walk (the dominant cost)
+    # and selects the bsdf/phase factors per lane
+    mat_id = hit.material_id
+    f_b = eval_bsdf(scene, mat_id, dir_view, dir_light, hit)
+    pdf_b = pdf_bsdf(scene, mat_id, dir_view, dir_light, hit)
+    f_p = phase_eval(scene, med_id, dir_view, dir_light, row=row)
+    pdf_p = phase_pdf(scene, med_id, dir_view, dir_light, row=row)
+    ok = ok & (~is_surface | (pdf_b > 0))
+    f = jnp.where(is_surface, f_b, f_p)
+    pdf_dir = jnp.where(is_surface, pdf_b, pdf_p) * jac * p_dir_t
 
     contrib = Tl * f * Le * jac / jnp.maximum(_avg(pdf_nee), 1e-30)
     w = (pdf_nee * pdf_nee) / jnp.maximum(
         pdf_nee * pdf_nee + pdf_dir * pdf_dir, 1e-30)
     return jnp.where(ok, contrib * w, jnp.zeros(3))
 
-
-# ---------------------------------------------------------------------------
-# The final integrator (vol_path_tracing.h:503-869)
-# ---------------------------------------------------------------------------
 
 def _advance_vol_lane(scene, options, st, su):
     """ONE bounce of the final integrator for a single lane (vmapped by
@@ -444,10 +876,16 @@ def _advance_vol_lane(scene, options, st, su):
 
     # ---- scatter in medium (:737-784) ----------------------------------
     do_scatter = active_work & scatter & in_medium
+    do_surface = active_work & ~scatter & hit.valid
     sigma_s = get_sigma_s(scene, medium, new_org, row=mrow)
-    nee_s = _vol_nee(scene, options, hb, new_org, medium, bounces,
-                     -d, False, hit, row=mrow)
-    L = L + jnp.where(do_scatter, T * sigma_s * nee_s, 0.0)
+    # ONE merged NEE per bounce: the shadow walk (the dominant cost) is
+    # shared; per-lane is_surface selects bsdf vs phase factors inside
+    hb_eff = jnp.where(do_surface, _pcg_hash(hb + jnp.uint32(7)), hb)
+    nee_m = _vol_nee(scene, options, hb_eff, new_org, medium, bounces,
+                     -d, do_surface, hit, row=mrow)
+    nee_s = nee_b = nee_m
+    L = L + jnp.where(do_scatter, T * sigma_s * nee_m,
+                      jnp.where(do_surface, T * nee_m, 0.0))
     hph = _pcg_hash(hb + jnp.uint32(_S_PHASE))
     u_ph = jnp.stack([_u(hph, 0), _u(hph, 1)])
     next_dir = phase_sample(scene, medium, -d, u_ph, row=mrow)
@@ -456,10 +894,6 @@ def _advance_vol_lane(scene, options, st, su):
     T_scatter = T * (ph_f / jnp.maximum(ph_pdf, 1e-30)) * sigma_s
 
     # ---- surface interaction (:786-848) --------------------------------
-    do_surface = active_work & ~scatter & hit.valid
-    nee_b = _vol_nee(scene, options, _pcg_hash(hb + jnp.uint32(7)),
-                     new_org, medium, bounces, -d, True, hit, row=mrow)
-    L = L + jnp.where(do_surface, T * nee_b, 0.0)
     hbs = _pcg_hash(hb + jnp.uint32(_S_BSDF))
     u_b = jnp.stack([_u(hbs, 0), _u(hbs, 1), _u(hbs, 2)])
     rec = sample_bsdf(scene, hit.material_id, -d, hit, u_b[0:2], u_b[2])
@@ -511,7 +945,6 @@ def _advance_vol_lane(scene, options, st, su):
     nst = (item, new_org, d_next, medium, T, L, bounces + 1, dir_pdf,
            nee_p, multi_trans_pdf, eta_scale, spread, radius, done)
     return nst, died
-
 
 # ---------------------------------------------------------------------------
 # Pedagogical versions 1 & 2 (vol_path_tracing.h:6-147)
@@ -596,11 +1029,20 @@ def volpath2_trace_one(scene, options, px, py, key):
 def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
                           i0=0, count=None):
     """Persistent-wavefront queue over (pixel, sample) work items for the
-    final integrator: every iteration advances each lane by ONE bounce;
-    finished paths splat into the film (dense, queue-stride — see
-    path.py _dense_film_add) and regenerate immediately. Returns the film
-    SUM over work items [s0*n + i0, s0*n + i0 + count) — `count` < n*nspp
-    bounds the device-launch duration for heavy (grid-media) scenes; the
+    final integrator. Two statically-selected lane-advance engines:
+
+    * grid-media scenes -> the flat EVENT machine (_advance_event): one
+      cast + K bounded free-flight steps per iteration, so the lockstep
+      cost tracks mean events per path instead of the product of
+      per-loop maxima (hetvol: 2.7x the nested form);
+    * homogeneous-only scenes -> the classic one-bounce-per-iteration
+      advance (_advance_vol_lane) with the closed-form single-step free
+      flight — fewer (predicated) vertex-body evaluations per path.
+
+    Finished paths splat into the film (dense, queue-stride — see
+    path.py _dense_film_add) and regenerate immediately. Returns the
+    film SUM over work items [s0*n + i0, s0*n + i0 + count) — `count`
+    < n*nspp bounds the device-launch duration for heavy scenes; the
     driver accumulates chunks."""
     w = scene.meta.width
     h = scene.meta.height
@@ -608,34 +1050,51 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
     lanes = lanes or n
     count = count if count is not None else n * nspp
     su = _pcg_hash(jnp.uint32(seed) ^ jnp.uint32(0x701A77E5))
+    use_machine = scene.meta.has_grid_volumes
 
     item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n + i0
     _pix, org0, d0 = _primary_hash(scene, options, item0, su)
-    med0 = jnp.full(lanes, scene.meta.camera_medium_id, jnp.int32)
     ones = jnp.ones((lanes, 3), jnp.float32)
     z3 = jnp.zeros((lanes, 3), jnp.float32)
+    z1 = jnp.zeros(lanes, jnp.float32)
+    zi = jnp.zeros(lanes, jnp.int32)
+    zb = jnp.zeros(lanes, jnp.bool_)
+    zu = jnp.zeros(lanes, jnp.uint32)
     spread0 = jnp.full(lanes, 0.25 / max(w, h), jnp.float32)
-    state = (item0, org0, d0, med0, ones, z3,
-             jnp.zeros(lanes, jnp.int32),                 # bounces
-             jnp.zeros(lanes, jnp.float32),               # dir_pdf
-             org0, ones,                                  # nee_p, mtp
-             jnp.ones(lanes, jnp.float32),                # eta_scale
-             spread0,                                     # ray-diff spread
-             jnp.zeros(lanes, jnp.float32),               # ray-diff radius
-             jnp.zeros(lanes, jnp.bool_))                 # done
+
+    def fresh(item, org, dd):
+        """Per-lane state for newly-(re)generated items."""
+        path_st = (item, org, dd,
+                   jnp.full(lanes, scene.meta.camera_medium_id, jnp.int32),
+                   ones, z3, zi, z1, org, ones,
+                   jnp.ones(lanes, jnp.float32), spread0, z1)
+        if not use_machine:
+            return path_st + (zb,)
+        return path_st + (
+            jnp.full(lanes, PH_CAST, jnp.int32),
+            jnp.full(lanes, jnp.inf, jnp.float32), zi, z1, z1, zb,
+            zu, z1, zi, ones, ones, ones, zb, zb,
+            org, dd, zi, zi, ones, ones, ones, org,
+            zu, z3, z1, z1, ones,
+            z1, zb, zb, zb, zi,
+            zb, zb)
+
+    state = fresh(item0, org0, d0)
     film0 = jnp.zeros((n, 3), jnp.float32)
     end = s0 * n + i0 + count
+    advance = _advance_event if use_machine else _advance_vol_lane
 
     def cond(carry):
         st, film = carry
-        return ~jnp.all(st[13])
+        return ~jnp.all(st[-1])
 
     def body(carry):
         st, film = carry
         nst, died = jax.vmap(
-            lambda *s: _advance_vol_lane(scene, options, s, su))(*st)
-        (item, org, d, medium, T, L, bounces, dir_pdf, nee_p, mtp,
-         eta_scale, spread, radius, done) = nst
+            lambda *s: advance(scene, options, s, su))(*st)
+        item = nst[0]
+        L = nst[5]
+        done = nst[-1]
 
         # NaN exclusion at the splat, as in the reference film loop
         # (render.cpp:140-143)
@@ -649,25 +1108,16 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
         done = done | (died & ~has_more)
 
         _rp, rorg, rd = _primary_hash(scene, options, next_item, su)
-        sel = lambda a, b: jnp.where(regen, a, b)
-        selv = lambda a, b: jnp.where(regen[:, None], a, b)
-        state_new = (
-            sel(next_item, item),
-            selv(rorg, org),
-            selv(rd, d),
-            sel(jnp.full_like(medium, scene.meta.camera_medium_id), medium),
-            selv(jnp.ones_like(T), T),
-            selv(jnp.zeros_like(L), L),
-            sel(jnp.zeros_like(bounces), bounces),
-            sel(jnp.zeros_like(dir_pdf), dir_pdf),
-            selv(rorg, nee_p),
-            selv(jnp.ones_like(mtp), mtp),
-            sel(jnp.ones_like(eta_scale), eta_scale),
-            sel(jnp.full_like(spread, 0.25 / max(w, h)), spread),
-            sel(jnp.zeros_like(radius), radius),
-            done,
-        )
-        return (state_new, film)
+        fr = fresh(next_item, rorg, rd)
+        state_new = []
+        for i, (f_i, cur) in enumerate(zip(fr, nst)):
+            if i == len(fr) - 1:            # done flag
+                state_new.append(done)
+            elif cur.ndim == 2:
+                state_new.append(jnp.where(regen[:, None], f_i, cur))
+            else:
+                state_new.append(jnp.where(regen, f_i, cur))
+        return (tuple(state_new), film)
 
     (_, film) = jax.lax.while_loop(cond, body, (state, film0))
     return film

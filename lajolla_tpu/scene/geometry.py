@@ -51,11 +51,36 @@ def intersect_triangles(scene, o, d, tnear, tfar):
     return brute_force_triangles(scene, o, d, tnear, tfar)
 
 
+def cast_scene(scene, o, d, tnear, tfar):
+    """Raw closest-hit cast → (t, prim, bu, bv, take_sph). The compact,
+    cacheable part of intersect_scene: the wavefront phase machine
+    (integrators/volpath.py) casts once at bounce start, carries this
+    tuple through the free-flight phases, and rebuilds the full record
+    with hit_from_cast only at the vertex."""
+    t_tri, prim, bu, bv = intersect_triangles(scene, o, d, tnear, tfar)
+    if scene.meta.num_spheres > 0:
+        t_sph, sph = brute_force_spheres(scene, o, d, tnear, tfar)
+    else:
+        t_sph, sph = INF, jnp.int32(-1)
+    take_sph = t_sph < t_tri
+    t = jnp.where(take_sph, t_sph, t_tri)
+    prim = jnp.where(take_sph, sph, prim)
+    return t, prim, bu, bv, take_sph
+
+
 def intersect_scene(scene, o, d, tnear, tfar, ray_radius=0.0, ray_spread=0.0,
                     need_aux=False):
     """Closest hit over triangles + spheres → Hit record. ray_radius/
     ray_spread are the scalar ray-differential state (ray.h:27-33); the
-    hit's texture footprint is (radius + spread·t) / |dp/duv|.
+    hit's texture footprint is (radius + spread·t) / |dp/duv|."""
+    raw = cast_scene(scene, o, d, tnear, tfar)
+    return hit_from_cast(scene, o, d, raw, ray_radius, ray_spread,
+                         need_aux)
+
+
+def hit_from_cast(scene, o, d, raw, ray_radius=0.0, ray_spread=0.0,
+                  need_aux=False):
+    """Build the full Hit record from a cast_scene tuple.
 
     Static gating (the wavefront cost lever): uv interpolation, the
     dp/duv Jacobian, curvature and footprint math are only emitted when
@@ -64,16 +89,9 @@ def intersect_scene(scene, o, d, tnear, tfar, ray_radius=0.0, ray_spread=0.0,
     record is just position/normal/frame/ids."""
     need_uv = need_aux or scene.meta.needs_uv
     need_diff = need_aux or scene.meta.needs_ray_diff
-    t_tri, prim, bu, bv = intersect_triangles(scene, o, d, tnear, tfar)
-    if scene.meta.num_spheres > 0:
-        t_sph, sph = brute_force_spheres(scene, o, d, tnear, tfar)
-    else:
-        t_sph, sph = INF, jnp.int32(-1)
-    take_sph = t_sph < t_tri
-    t = jnp.where(take_sph, t_sph, t_tri)
+    t, prim, bu, bv, take_sph = raw
+    sph = prim
     valid = t < INF
-
-    prim = jnp.where(take_sph, sph, prim)
     prim_c = jnp.maximum(prim, 0)
 
     # --- triangle record: ONE wide-row fetch (scene/soa.py) -----------------
@@ -83,7 +101,8 @@ def intersect_scene(scene, o, d, tnear, tfar, ray_radius=0.0, ray_spread=0.0,
     ng_tri = normalize(cross(tri.e1, tri.e2))
 
     # --- sphere branch --------------------------------------------------------
-    sph_c = jnp.maximum(sph if scene.meta.num_spheres > 0 else jnp.int32(0), 0)
+    sph_c = jnp.where(take_sph, prim_c, 0) \
+        if scene.meta.num_spheres > 0 else jnp.int32(0)
     center = scene.sph_center[sph_c]
     radius = scene.sph_radius[sph_c]
     pos = o + t * d

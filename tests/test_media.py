@@ -130,7 +130,7 @@ def test_ratio_tracking_transmittance_unbiased(hetvol_scene):
             sc, options, hs, org, d, jnp.int32(0), t_hit,
             with_scatter=False)
         # the unbiased transmittance estimate is trans / trans_nee_pdf
-        # (the caller divides by the pdf product, volpath._vol_nee) —
+        # (the NEE completion divides by the pdf product) —
         # for a gray grid the ratio telescopes to prod(sigma_n/majorant)
         return trans[0] / jnp.maximum(tnp[0], 1e-30)
 
