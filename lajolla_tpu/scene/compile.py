@@ -257,6 +257,9 @@ def compile_scene(b):
         tex_uvscale[i] = (td.uscale, td.vscale)
         tex_uvoffset[i] = (td.uoffset, td.voffset)
     texdata, mip_offset, mip_w, mip_h, mip_levels = b.texture_pool.pack()
+    mip_tab = np.concatenate([mip_offset, mip_w, mip_h,
+                              mip_levels[:, None]], axis=1).astype(
+                                  np.float32)
 
     # ------------------------------------------------------------------ lights
     nl = max(len(b.lights), 1)
@@ -648,7 +651,8 @@ def compile_scene(b):
         tex_kind=_i32(tex_kind), tex_const=_f32(tex_const),
         tex_color1=_f32(tex_color1), tex_image=_i32(tex_image),
         tex_uvscale=_f32(tex_uvscale), tex_uvoffset=_f32(tex_uvoffset),
-        texdata=_f32(texdata), mip_offset=_i32(mip_offset),
+        texdata=_f32(texdata), mip_tab=_f32(mip_tab),
+        mip_offset=_i32(mip_offset),
         mip_w=_i32(mip_w), mip_h=_i32(mip_h), mip_levels=_i32(mip_levels),
         light_type=_i32(light_type), light_shape=_i32(light_shape),
         light_intensity=_f32(light_intensity), light_cdf=_f32(light_cdf),

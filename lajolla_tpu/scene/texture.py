@@ -83,7 +83,17 @@ class TexturePool:
                 if l < len(pyr):
                     img = pyr[l]
                     h, w = img.shape[:2]
-                    chunks.append(img.reshape(-1, 3))
+                    # quad-packed rows: texel (y, x) carries its 2x2
+                    # bilinear footprint [t00 t10 t01 t11] (wrap
+                    # addressing, mipmap.h:52-66 semantics) so one
+                    # bilinear tap is ONE wide gather instead of 4 —
+                    # per-lane gathers cost ~10 ns regardless of width
+                    xi = (np.arange(w) + 1) % w
+                    yi = (np.arange(h) + 1) % h
+                    quad = np.concatenate(
+                        [img, img[:, xi], img[yi, :], img[yi][:, xi]],
+                        axis=-1)
+                    chunks.append(quad.reshape(-1, 12))
                     mip_offset[i, l] = offset
                     mip_w[i, l] = w
                     mip_h[i, l] = h
@@ -94,6 +104,6 @@ class TexturePool:
                     mip_w[i, l] = mip_w[i, l - 1]
                     mip_h[i, l] = mip_h[i, l - 1]
         if not chunks:
-            chunks = [np.zeros((1, 3), np.float32)]
+            chunks = [np.zeros((1, 12), np.float32)]
         texdata = np.concatenate(chunks, axis=0).astype(np.float32)
         return texdata, mip_offset, mip_w, mip_h, mip_levels

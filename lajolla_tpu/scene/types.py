@@ -206,7 +206,8 @@ class Scene:
     tex_image: Any       # (NT,) i32
     tex_uvscale: Any     # (NT,2) f32
     tex_uvoffset: Any    # (NT,2) f32
-    texdata: Any         # (TOTAL,3) f32 all mip levels of all images
+    texdata: Any         # (TOTAL,12) f32 quad-packed mip texels (texture.py)
+    mip_tab: Any         # (NI, 25) f32 [off x8 | w x8 | h x8 | nlev]
     mip_offset: Any      # (NI, MAX_MIP_LEVELS) i32
     mip_w: Any           # (NI, MAX_MIP_LEVELS) i32
     mip_h: Any           # (NI, MAX_MIP_LEVELS) i32
