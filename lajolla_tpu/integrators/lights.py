@@ -10,8 +10,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from lajolla_tpu.core.distribution import (sample_alias, sample_cdf,
-                                           sample_cdf_2d, sample_segmented)
+from lajolla_tpu.core.distribution import sample_alias, sample_cdf
 from lajolla_tpu.core.math import (cross, dot, distance_squared, make_frame,
                                    normalize, to_world)
 from lajolla_tpu.core.transform import xform_vector

@@ -302,7 +302,6 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
 
 PH_CAST = 0    # cast main ray, init free flight, step it
 PH_FF = 1      # continue main free flight
-PH_VTX = 2     # process vertex: emission MIS, NEE setup, continuation
 PH_SHC = 3     # cast next shadow segment, init+step its free flight
 PH_SHF = 4     # continue shadow-segment free flight
 K_FF = 8       # free-flight steps per outer iteration (p90 of hetvol)

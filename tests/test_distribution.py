@@ -50,3 +50,27 @@ def test_cdf_2d_marginals():
     counts /= counts.sum()
     expect = f / f.sum()
     assert np.abs(counts - expect).max() < 0.01
+
+
+def test_alias_table_matches_weights():
+    """Alias draws (build_alias + sample_alias) reproduce the weight
+    distribution, and the recovered uniforms stay U[0,1)."""
+    import numpy as np
+    from lajolla_tpu.core.distribution import build_alias, sample_alias
+    rng = np.random.default_rng(5)
+    w = rng.uniform(0.0, 1.0, size=37) ** 3
+    w[7] = 0.0
+    tab = jnp.asarray(build_alias(w))
+    n = 200000
+    u0 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    u1 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    idx, du, dv = jax.vmap(lambda a, b: sample_alias(tab, a, b))(u0, u1)
+    counts = np.bincount(np.asarray(idx), minlength=37) / n
+    probs = w / w.sum()
+    np.testing.assert_allclose(counts, probs, atol=0.004)
+    assert counts[7] == 0.0
+    du, dv = np.asarray(du), np.asarray(dv)
+    assert (du >= 0).all() and (du < 1).all()
+    assert (dv >= 0).all() and (dv < 1).all()
+    # recovered uniforms are uniform (moments)
+    assert abs(du.mean() - 0.5) < 0.01 and abs(dv.mean() - 0.5) < 0.01
