@@ -22,10 +22,10 @@ import time
 
 CPU_BASELINE_MPATHS = 4.75
 SCENE = "/root/reference/scenes/cbox/cbox.xml"
-# Timed at the headline workload's own block size (render_path uses
-# 128-spp launches for fused-kernel scenes): 2 blocks = the full 256 spp,
-# each timed run includes the film readback through the axon tunnel.
-TIMED_SPP = 128
+# Timed at the headline workload's own launch size (render_path uses
+# 256-spp single launches for fused-kernel scenes); each timed run
+# includes the film readback through the axon tunnel.
+TIMED_SPP = 256
 
 
 def main():

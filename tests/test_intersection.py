@@ -4,6 +4,7 @@ BVH-vs-brute-force equivalence on random meshes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lajolla_tpu.ops.bvh import build_bvh, bvh_traverse, bvh_occluded
 from lajolla_tpu.ops.intersect import ray_triangle, ray_sphere
@@ -145,3 +146,58 @@ def test_binned_matches_brute_force():
                           jnp.asarray(tnear), jnp.asarray(tfar))
     np.testing.assert_array_equal(np.asarray(occ),
                                   np.isfinite(np.asarray(t_ref)))
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason="Pallas TPU kernel (sweep caster)")
+def test_sweep_matches_brute_force():
+    """Oracle for the streaming cluster-sweep caster
+    (ops/intersect_sweep.py): closest hits and occlusion on a random
+    soup must agree with the all-triangles reference. Runs only on the
+    real-TPU suite pass."""
+    from lajolla_tpu.ops.intersect_sweep import (intersect_sweep,
+                                                 occluded_sweep, pack_sweep)
+    from lajolla_tpu.ops.intersect_binned import build_clusters
+
+    rng = np.random.default_rng(13)
+    centers = rng.uniform(-1, 1, size=(3000, 1, 3))
+    tri = (centers + rng.normal(scale=0.05, size=(3000, 3, 3))).astype(
+        np.float32)
+    lo = np.minimum(np.minimum(tri[:, 0], tri[:, 1]), tri[:, 2])
+    hi = np.maximum(np.maximum(tri[:, 0], tri[:, 1]), tri[:, 2])
+    b = build_bvh(lo.astype(np.float32), hi.astype(np.float32))
+    cl = build_clusters(b, tri[:, 0].astype(np.float32),
+                        (tri[:, 1] - tri[:, 0]).astype(np.float32),
+                        (tri[:, 2] - tri[:, 0]).astype(np.float32))
+    p = pack_sweep(cl)
+
+    class S:
+        sw_A = jnp.asarray(p['sw_A'])
+        sw_prim = jnp.asarray(p['sw_prim'])
+        sw_aabb = jnp.asarray(p['sw_aabb'])
+        cl_lo = jnp.asarray(cl['cl_lo'])
+        cl_hi = jnp.asarray(cl['cl_hi'])
+
+    sc = S()
+    fscene = FakeScene(tri)
+    N = 2048
+    o = rng.uniform(-2, 2, size=(N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tn = jnp.zeros(N)
+    tf = jnp.full(N, jnp.inf)
+
+    t_ref = jax.vmap(lambda o, d: _brute(fscene, o, d))(jnp.asarray(o),
+                                                        jnp.asarray(d))
+    t_sw, prim, u, v = jax.jit(
+        lambda o_, d_: intersect_sweep(sc, o_, d_, tn, tf))(
+            jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_allclose(
+        np.where(np.isfinite(t_sw), t_sw, 1e9),
+        np.where(np.isfinite(np.asarray(t_ref)), np.asarray(t_ref), 1e9),
+        rtol=3e-4, atol=3e-5)
+
+    occ = np.asarray(jax.jit(
+        lambda o_, d_: occluded_sweep(sc, o_, d_, tn, tf))(
+            jnp.asarray(o), jnp.asarray(d)))
+    np.testing.assert_array_equal(occ, np.isfinite(np.asarray(t_ref)))
