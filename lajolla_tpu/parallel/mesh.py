@@ -54,3 +54,43 @@ def render_path_sharded(scene, options, seed=0, mesh=None):
     total = spp_per_chip * n
     img = _render_sharded_jit(scene, options, seed, mesh, spp_per_chip)
     return img / total
+
+
+@partial(jax.jit, static_argnames=('options', 'mesh', 'spp_per_chip'))
+def _render_volpath_sharded_jit(scene, options, seed, mesh, spp_per_chip):
+    from lajolla_tpu.integrators.volpath import _render_volpath_block
+
+    def per_chip(scene):
+        chip = jax.lax.axis_index('samples')
+        s0 = chip.astype(jnp.int32) * spp_per_chip
+        film = _render_volpath_block(scene, options, seed, s0,
+                                     spp_per_chip)
+        return jax.lax.psum(film, 'samples')
+
+    fn = jax.shard_map(per_chip, mesh=mesh,
+                       in_specs=(P(),), out_specs=P(),
+                       check_vma=False)
+    return fn(scene)
+
+
+def render_volpath_sharded(scene, options, seed=0, mesh=None):
+    """Distributed volumetric path render — identical sample-axis DP
+    (the volpath engines are lane-pool loops over (pixel, sample) items,
+    so sharding the sample index range needs no new machinery)."""
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    spp_per_chip = -(-options.samples_per_pixel // n)
+    total = spp_per_chip * n
+    film = _render_volpath_sharded_jit(scene, options, seed, mesh,
+                                       spp_per_chip)
+    h, w = scene.meta.height, scene.meta.width
+    return (film / total).reshape(h, w, 3)
+
+
+def render_sharded(scene, options, seed=0, mesh=None):
+    """Integrator-dispatching distributed render (main.cpp surface over
+    a mesh)."""
+    if options.integrator == 'volpath' and options.vol_path_version \
+            not in (1, 2):
+        return render_volpath_sharded(scene, options, seed, mesh)
+    return render_path_sharded(scene, options, seed, mesh)

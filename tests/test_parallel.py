@@ -35,3 +35,19 @@ def test_dryrun_entry():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     mod.dryrun_multichip(min(len(jax.devices()), 8))
+
+
+def test_volpath_sharded_matches_single():
+    from lajolla_tpu.integrators.volpath import render_volpath
+    from lajolla_tpu.parallel.mesh import render_volpath_sharded
+    from lajolla_tpu.testing import make_volume_scene
+    ndev = len(jax.devices())
+    mesh = default_mesh(jax.devices())
+    scene = make_volume_scene()
+    opts = RenderOptions(integrator='volpath',
+                         samples_per_pixel=2 * ndev, max_depth=4)
+    img_sh = np.asarray(render_volpath_sharded(scene, opts, mesh=mesh))
+    assert np.isfinite(img_sh).all()
+    img_1 = np.asarray(render_volpath(scene, opts))
+    assert abs(img_sh.mean() - img_1.mean()) < 0.07 * max(img_1.mean(),
+                                                          1e-3)
