@@ -405,7 +405,9 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
     n = scene.meta.width * scene.meta.height
     if scene.meta.use_binned:
         # heavy intersector → short launches: small lane pool, 1 spp/launch
-        spp_block, lanes = 1, min(n, 65536)
+        # (32768 lanes measured ~12% over 65536 on matpreview: smaller
+        # per-iteration working set, same total sweep work)
+        spp_block, lanes = 1, min(n, 32768)
     elif _use_kernel(scene):
         # fused-kernel scenes render ~40+ Mpaths/s: large blocks amortize
         # the per-launch dispatch + film readback (~0.15 s through the
