@@ -135,6 +135,9 @@ def build_alias(weights):
     [acceptance threshold q_i, alias index]."""
     w = np.asarray(weights, np.float64).ravel()
     M = w.shape[0]
+    # Alias indices live in an f32 column: exact only below 2^24.
+    assert M < (1 << 24), \
+        f"alias table with {M} cells: f32 index column would lose precision"
     total = w.sum()
     alias = np.arange(M)
     if total <= 0 or M == 0:

@@ -228,20 +228,10 @@ def emission_envmap(scene, emit_dir, view_footprint):
     dvdwy = -1.0 / jnp.sqrt(jnp.maximum(1.0 - w[1] * w[1], 1e-20))
     footprint = jnp.minimum(jnp.sqrt(dudwx * dudwx + dudwz * dudwz), dvdwy)
 
-    lid = scene.meta.envmap_light_id
     # envmap texture is an image texture with uvscale 1
-    img_id = jnp.int32(_env_image_id(scene))
+    img_id = jnp.int32(scene.meta.env_image_id)
     level = image_mip_level(scene, img_id, jnp.array([1.0, 1.0]), footprint)
     val = lookup_trilinear(scene, img_id, uve[0], uve[1], level)
     return val * scene.env_scale
 
 
-def _env_image_id(scene):
-    # The envmap image is registered under "__envmap_texture__"; its id is
-    # recorded on the light row via light_shape (unused for envmaps) — we
-    # instead store it statically at compile time through meta.env_res
-    # presence and the convention that the envmap image is the one the
-    # parser inserted. The parser stores image_id on the LightB; compile
-    # stashes it in light_shape for envmap rows.
-    lid = scene.meta.envmap_light_id
-    return scene.light_shape[lid]

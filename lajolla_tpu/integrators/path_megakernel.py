@@ -150,7 +150,9 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, tri_ref, light_ref,
             org, d, thr, rad, nv.astype(jnp.float32), dir_pdf, prev, un,
             act, woop, tri, light, stair, sph, **statics)
         died = act & ~alive
-        film = film + jnp.where(died, rad2, 0.0)
+        # NaN/Inf exclusion on the splat (render.cpp:140-143): one
+        # non-finite path must not poison its pixel for the whole launch.
+        film = film + jnp.where(died & jnp.isfinite(rad2), rad2, 0.0)
         next_item = item + n
         has_more = next_item < end
         regen = died & has_more

@@ -62,6 +62,8 @@ def pack_sweep(cl):
     aabb = np.zeros((K, 8), np.float32)
     aabb[:, 0:3] = cl['cl_lo']
     aabb[:, 3:6] = cl['cl_hi']
+    assert cl_prim.max(initial=0) < (1 << 24), \
+        "sweep prim ids stored as f32: exact only below 2^24"
     return dict(sw_A=sw.reshape(K * C, 12),
                 sw_prim=cl_prim.astype(np.float32).reshape(K * C, 1),
                 sw_aabb=aabb)
@@ -141,8 +143,8 @@ def _kernel(oT_ref, dT_ref, tn_ref, tf_ref, aabb_ref, A_ref, prim_ref,
             self_f = (sel & (iota == first)).astype(jnp.float32)
             prim = prim_ref[:]                      # (C, 1)
             pn = jnp.sum(self_f * prim, axis=0, keepdims=True)
-            un = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
-            vn = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+            un = jnp.sum(self_f * u, axis=0, keepdims=True)
+            vn = jnp.sum(self_f * v, axis=0, keepdims=True)
             p_o[:] = jnp.where(better, pn, p_o[:])
             u_o[:] = jnp.where(better, un, u_o[:])
             v_o[:] = jnp.where(better, vn, v_o[:])
@@ -204,7 +206,7 @@ def _sort_keys(scene, o, d):
     octant = ((d[:, 0] > 0).astype(jnp.uint32) |
               ((d[:, 1] > 0).astype(jnp.uint32) << 1) |
               ((d[:, 2] > 0).astype(jnp.uint32) << 2))
-    return (octant << jnp.uint32(30)) | (morton >> jnp.uint32(2))
+    return (octant << jnp.uint32(29)) | (morton >> jnp.uint32(3))
 
 
 def _sorted_call(scene, o, d, tnear, tfar, any_hit):

@@ -93,4 +93,9 @@ def render_sharded(scene, options, seed=0, mesh=None):
     if options.integrator == 'volpath' and options.vol_path_version \
             not in (1, 2):
         return render_volpath_sharded(scene, options, seed, mesh)
+    if options.integrator != 'path':
+        raise NotImplementedError(
+            f"render_sharded: integrator {options.integrator!r} "
+            f"(vol_path_version={options.vol_path_version}) has no "
+            "distributed driver; use render() single-chip")
     return render_path_sharded(scene, options, seed, mesh)

@@ -136,6 +136,9 @@ def compile_scene(b):
         # per-shape alias tables in the same flat layout (device sampling
         # is one row gather instead of a log2(T)-gather binary search;
         # aliases are globalized by the segment offset)
+        # Global tri ids ride in f32 alias columns: exact below 2^24.
+        assert num_tris < (1 << 24), \
+            f"{num_tris} triangles: f32 tri ids would lose precision"
         tri_alias = np.zeros((num_tris, 2), np.float32)
         for r in mesh_rows:
             s0, c = shape_prim_start[r['sid']], shape_prim_count[r['sid']]
@@ -281,12 +284,13 @@ def compile_scene(b):
     env_alias = np.zeros((1, 2), np.float32)
     env_total = 0.0
 
+    env_image_id = -1
     for i, l in enumerate(b.lights):
         light_type[i] = l.type
-        # envmap rows reuse the shape slot to store their image id
-        light_shape[i] = l.image_id if l.type == T.LIGHT_ENVMAP else l.shape_id
+        light_shape[i] = l.shape_id
         light_intensity[i] = l.intensity
         if l.type == T.LIGHT_ENVMAP:
+            env_image_id = l.image_id
             env_to_world = np.asarray(l.to_world, np.float64)
             env_to_local = np.linalg.inv(env_to_world)
             env_scale = l.scale
@@ -609,6 +613,7 @@ def compile_scene(b):
         med_types_present=med_present,
         has_envmap=b.envmap_light_id >= 0,
         envmap_light_id=b.envmap_light_id,
+        env_image_id=env_image_id,
         env_res=(env_h, env_w),
         width=cam.width,
         height=cam.height,

@@ -105,6 +105,7 @@ class SceneMeta:
     med_types_present: Tuple[int, ...]
     has_envmap: bool
     envmap_light_id: int
+    env_image_id: int                 # image id of the envmap texture (-1)
     env_res: Tuple[int, int]          # (H, W) of envmap CDF tables (0,0 if none)
     width: int
     height: int

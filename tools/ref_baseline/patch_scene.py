@@ -13,10 +13,14 @@ import os
 import xml.etree.ElementTree as ET
 
 
-def patch_scene(src, dst, spp=None, width=None, height=None):
+def patch_scene(src, dst, spp=None, width=None, height=None,
+                integrator=None):
     scene_dir = os.path.dirname(os.path.abspath(src))
     tree = ET.parse(src)
     root = tree.getroot()
+    if integrator is not None:
+        for el in root.iter('integrator'):
+            el.set('type', integrator)
     for el in root.iter():
         if el.tag == 'string' and el.get('name') == 'filename':
             v = el.get('value')
@@ -43,6 +47,7 @@ if __name__ == '__main__':
     ap.add_argument('--spp', type=int)
     ap.add_argument('--width', type=int)
     ap.add_argument('--height', type=int)
+    ap.add_argument('--integrator')
     a = ap.parse_args()
-    patch_scene(a.src, a.dst, a.spp, a.width, a.height)
+    patch_scene(a.src, a.dst, a.spp, a.width, a.height, a.integrator)
     print(a.dst)
