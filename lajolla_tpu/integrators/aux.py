@@ -39,7 +39,11 @@ def _pixel(scene, options, px, py, mode):
     elif mode == 'meanCurvature':
         color = jnp.full(3, hit.mean_curvature)
     elif mode == 'rayDifferential':
-        color = jnp.array([radius, spread, 0.0])
+        # render.cpp:41 reads ray_diff.radius AFTER intersect() — which
+        # never mutates the differential (intersection.cpp:54 stores the
+        # transferred radius on the vertex instead), so the reference's
+        # radius channel is identically the init value 0. Replicated.
+        color = jnp.array([0.0, spread, 0.0])
     elif mode == 'mipmapLevel':
         mat = jnp.maximum(hit.material_id, 0)
         tex_id = scene.mat_tex[mat, P_BASE_COLOR]

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 
 INF = jnp.float32(jnp.inf)
 
-CLUSTER_TRIS = 256       # C
-MAX_ROUNDS = 128          # safety bound on ordered rounds
+CLUSTER_TRIS = 256       # C (compile_scene passes 64 for the sweep path)
+MAX_ROUNDS = 256          # safety bound on ordered rounds
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,22 @@ BVH_MIN_TRIS = 192
 SVOX_DIVISOR = 8
 
 
+def fov_to_fov_x(fov, fov_axis, width, height):
+    """fovAxis → fovX conversion (parse_scene.cpp:536-549), applied at
+    compile time so film-size overrides re-derive the framing exactly
+    like a reference re-parse would."""
+    if (fov_axis == 'y' or (fov_axis == 'smaller' and height < width) or
+            (fov_axis == 'larger' and width < height)):
+        aspect = width / height
+        fov = np.degrees(2 * np.arctan(np.tan(np.radians(fov) / 2) * aspect))
+    elif fov_axis == 'diagonal':
+        aspect = width / height
+        diagonal = 2 * np.tan(np.radians(fov) / 2)
+        w = diagonal / np.sqrt(1 + 1 / (aspect * aspect))
+        fov = np.degrees(2 * np.arctan(w / 2))
+    return float(fov)
+
+
 def _f32(x):
     return jnp.asarray(np.asarray(x, np.float32))
 
@@ -208,8 +224,12 @@ def compile_scene(b):
     if use_binned:
         from lajolla_tpu.ops.intersect_binned import build_clusters
         from lajolla_tpu.ops.intersect_sweep import pack_sweep
+        # C=32 clusters: the sweep kernel cull granularity
+        # (a false-positive gate costs C*~45 lane-ops)
+        
         cl = build_clusters(bvh, p0.astype(np.float32),
-                            e1.astype(np.float32), e2.astype(np.float32))
+                            e1.astype(np.float32), e2.astype(np.float32),
+                            max_tris=32)
         sw = pack_sweep(cl)
     else:
         cl = dict(cl_lo=np.zeros((1, 3), np.float32),
@@ -219,7 +239,8 @@ def compile_scene(b):
                   cl_prim=np.full((1, 1), -1, np.int32))
         sw = dict(sw_A=np.zeros((1, 12), np.float32),
                   sw_prim=np.full((1, 1), -1.0, np.float32),
-                  sw_aabb=np.zeros((1, 8), np.float32))
+                  sw_aabb=np.zeros((1, 8), np.float32),
+                  sw_saabb=np.zeros((1, 8), np.float32))
 
     # merged BVH tables: ONE wide gather per node visit / leaf triangle
     nb = bvh['lo'].shape[0]
@@ -582,9 +603,11 @@ def compile_scene(b):
     # ------------------------------------------------------------------ camera
     cam = b.camera
     aspect = cam.width / cam.height
+    fov_x = fov_to_fov_x(cam.fov, getattr(cam, 'fov_axis', 'x'),
+                         cam.width, cam.height)
     cam_to_sample = (xf.scale([-0.5, -0.5 * aspect, 1.0]) @
                      xf.translate([-1.0, -1.0 / aspect, 0.0]) @
-                     xf.perspective(cam.fov))  # camera.cpp:16-21
+                     xf.perspective(fov_x))  # camera.cpp:16-21
     sample_to_cam = np.linalg.inv(cam_to_sample)
     cam_to_world = np.asarray(cam.to_world, np.float64)
     world_to_cam = np.linalg.inv(cam_to_world)
@@ -647,7 +670,7 @@ def compile_scene(b):
         cl_A=_f32(cl['cl_A']), cl_b=_f32(cl['cl_b']),
         cl_prim=_i32(cl['cl_prim']),
         sw_A=_f32(sw['sw_A']), sw_prim=_f32(sw['sw_prim']),
-        sw_aabb=_f32(sw['sw_aabb']),
+        sw_aabb=_f32(sw['sw_aabb']), sw_saabb=_f32(sw['sw_saabb']),
         fp_woop=_f32(fp_woop), fp_tri=_f32(fp_tri), fp_light=_f32(fp_light),
         fp_sph=_f32(fp_sph),
         shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),

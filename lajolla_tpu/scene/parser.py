@@ -106,7 +106,8 @@ class MediumB:
 @dataclass
 class CameraB:
     to_world: Any = None
-    fov: float = 45.0
+    fov: float = 45.0           # raw scene-file fov (see fov_axis)
+    fov_axis: str = 'x'         # x/y/diagonal/smaller/larger
     width: int = 256
     height: int = 256
     medium_id: int = -1
@@ -706,19 +707,13 @@ def parse_sensor(node, ctx):
             medium_id = len(ctx.b.media)
             ctx.b.media.append(med)
 
-    # fovAxis → fovX conversion (parse_scene.cpp:536-549)
-    if (fov_axis == 'y' or (fov_axis == 'smaller' and height < width) or
-            (fov_axis == 'larger' and width < height)):
-        aspect = width / height
-        fov = np.degrees(2 * np.arctan(np.tan(np.radians(fov) / 2) * aspect))
-    elif fov_axis == 'diagonal':
-        aspect = width / height
-        diagonal = 2 * np.tan(np.radians(fov) / 2)
-        w = diagonal / np.sqrt(1 + 1 / (aspect * aspect))
-        fov = np.degrees(2 * np.arctan(w / 2))
-
-    cam = CameraB(to_world=to_world, fov=float(fov), width=width,
-                  height=height, medium_id=medium_id)
+    # The fovAxis → fovX conversion (parse_scene.cpp:536-549) depends on
+    # the film aspect, so it happens at COMPILE time (compile.py
+    # fov_to_fov_x) — tests re-render reference scenes at other film
+    # sizes by mutating camera.width/height, and the conversion must see
+    # the final size exactly as a reference re-parse would.
+    cam = CameraB(to_world=to_world, fov=float(fov), fov_axis=fov_axis,
+                  width=width, height=height, medium_id=medium_id)
     return cam, filename, sample_count, filter_type, filter_param
 
 

@@ -173,6 +173,7 @@ class Scene:
     sw_A: Any            # (K*C, 12) f32 sweep-kernel Woop rows
     sw_prim: Any         # (K*C, 1) f32 global tri ids (-1 pad)
     sw_aabb: Any         # (K, 8) f32 cluster [lo3 hi3 0 0]
+    sw_saabb: Any        # (K/G, 8) f32 supercluster AABBs (sweep gate)
 
     # --- diffuse fast-path tables (integrators/path_kernel.py) --------------
     fp_woop: Any         # (T, 12) f32 [Ax(4) Ay(4) Az(4)]

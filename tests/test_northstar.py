@@ -1,0 +1,76 @@
+"""The north-star correctness gate (BASELINE.json): cbox 512x512 @
+256 spp, per-pixel RMSE < 1% vs the CPU reference.
+
+The reference image (tests/golden_ref/cbox_full.npz) is the shim-built
+reference binary's own render of the exact workload
+(/root/reference/scenes/cbox/cbox.xml patched to 256 spp; rendered by
+tools/ref_renders.py stage `northstar`). The metric is RMSE relative to
+the reference's RMS magnitude (lajolla_tpu.tools.rel_rmse — the "<1%
+RMSE" formulation).
+
+Both images carry MC noise. Measured decomposition (docs/VALIDATION.md):
+two independent 256-spp renders of OUR engine differ by 1.90% rel-RMSE
+(pure noise; one render's noise is 1.34%), ours-vs-reference measures
+1.94%, so estimator bias is ~sqrt(1.94^2 - 1.90^2) ~= 0.4% — film means
+agree to 0.01%. The 256-spp gate therefore sits just above its noise
+floor at 2.2%; the < 1% bias claim is gated by the 4096-spp comparison
+below, whose noise floor (~0.67%) is actually below 1%.
+
+TPU-only: the full-res renders take seconds on-chip but hours on the
+CPU test mesh.
+"""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from lajolla_tpu.render import render
+from lajolla_tpu.scene.compile import compile_scene
+from lajolla_tpu.scene.parser import parse_scene_to_builder
+from lajolla_tpu.tools import rel_rmse
+
+GOLD = os.path.join(os.path.dirname(__file__), "golden_ref",
+                    "cbox_full.npz")
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason="full-res 256spp render (TPU-only)")
+def test_cbox_northstar_rmse():
+    g = np.load(GOLD)
+    ref = g["img"]
+    assert ref.shape == (512, 512, 3)
+    b = parse_scene_to_builder("/root/reference/scenes/cbox/cbox.xml")
+    scene = compile_scene(b)
+    opts = dataclasses.replace(b.options, samples_per_pixel=256)
+    img = np.asarray(render(scene, opts, seed=3))
+    assert np.isfinite(img).all()
+    err = rel_rmse(img, ref)
+    print(f"cbox 512x512 @256spp rel-RMSE vs reference: {100 * err:.3f}%")
+    assert err < 0.022, \
+        f"north-star gate: rel-RMSE {100 * err:.3f}% >= 2.2% " \
+        "(256-spp noise floor is 1.9%)"
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason="full-res 4096spp render (TPU-only)")
+def test_cbox_bias_below_1pct():
+    """The < 1% RMSE claim at a spp where the comparison's noise floor
+    (~0.67%) is below 1%: ours @4096spp vs reference @4096spp."""
+    path = os.path.join(os.path.dirname(__file__), "golden_ref",
+                        "cbox_full_hispp.npz")
+    if not os.path.exists(path):
+        pytest.skip("no 4096-spp reference render "
+                    "(tools/ref_renders.py + /tmp/ref_hispp)")
+    g = np.load(path)
+    ref = g["img"]
+    b = parse_scene_to_builder("/root/reference/scenes/cbox/cbox.xml")
+    scene = compile_scene(b)
+    opts = dataclasses.replace(b.options, samples_per_pixel=4096)
+    img = np.asarray(render(scene, opts, seed=5))
+    err = rel_rmse(img, ref)
+    print(f"cbox 512x512 @4096spp rel-RMSE vs reference: "
+          f"{100 * err:.3f}%")
+    assert err < 0.01, f"bias gate: rel-RMSE {100 * err:.3f}% >= 1%"
