@@ -218,11 +218,13 @@ def _hash_u01(x):
         1.0 / 16777216.0)
 
 
-def _primary_hash(scene, options, item, seed_u32):
+def _primary_hash(scene, options, item, seed_u32, nq=None):
     """Camera ray for work item `item` with hash-derived uniforms
-    (vectorized over item; semantics of _primary_ray otherwise)."""
+    (vectorized over item; semantics of _primary_ray otherwise).
+    `nq` >= n is the padded queue stride (see _render_block): items with
+    pixel >= n are dummy lanes whose radiance is discarded."""
     w = scene.meta.width
-    n = w * scene.meta.height
+    n = nq or (w * scene.meta.height)
     pixel = (item % n).astype(jnp.uint32)
     px = (pixel % w).astype(jnp.float32)
     py = (pixel // w).astype(jnp.float32)
@@ -329,8 +331,15 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
     kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
             jnp.uint32(_GOLD))[None, :]                    # (1, 8)
 
-    item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n
-    pixel0, org0, d0 = _primary_hash(scene, options, item0, su)
+    # Padded queue stride: items advance by `lanes`, so keeping
+    # n_q ≡ 0 (mod lanes) makes item ≡ lane (mod lanes) — the invariant
+    # the dense film add needs. Lanes whose pixel lands in [n, n_q)
+    # trace a dummy path whose radiance is discarded (≤ lanes/n waste,
+    # ~3% for matpreview; the scatter-add fallback this replaces cost
+    # ~50% of a binned-scene step).
+    n_q = -(-n // lanes) * lanes
+    item0 = jnp.arange(lanes, dtype=jnp.int32) + s0 * n_q
+    pixel0, org0, d0 = _primary_hash(scene, options, item0, su, n_q)
 
     z = jnp.zeros(lanes, jnp.float32)
     state = (
@@ -340,8 +349,8 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
         jnp.ones(lanes, jnp.float32), z, org0,
         jnp.zeros(lanes, jnp.bool_),
     )
-    film0 = jnp.zeros((n, 3), jnp.float32)
-    end = s0 * n + M
+    film0 = jnp.zeros((n_q, 3), jnp.float32)
+    end = (s0 + nspp) * n_q
 
     def cond(carry):
         st, film = carry
@@ -358,9 +367,9 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
          dir_pdf, prev_pos, done) = nst
 
         # splat finished paths
-        pixel = (item % n).astype(jnp.int32)
+        pixel = (item % n_q).astype(jnp.int32)
         film = _dense_film_add(film, pixel, jnp.where(died[:, None], L, 0.0),
-                               n, lanes)
+                               n_q, lanes)
 
         # regenerate from the queue
         next_item = item + lanes
@@ -368,7 +377,7 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
         regen = died & has_more
         done = done | (died & ~has_more)
 
-        _rp, rorg, rd = _primary_hash(scene, options, next_item, su)
+        _rp, rorg, rd = _primary_hash(scene, options, next_item, su, n_q)
         sel = lambda a, b: jnp.where(regen, a, b)
         selv = lambda a, b: jnp.where(regen[:, None], a, b)
         state_new = (
@@ -388,7 +397,7 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
         return (state_new, film)
 
     (_, film) = jax.lax.while_loop(cond, body, (state, film0))
-    return film.reshape(h, w, 3)
+    return film[:n].reshape(h, w, 3)
 
 
 def render_path(scene, options, seed=0, checkpoint=None, progress=False):
@@ -404,9 +413,10 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
     spp = options.samples_per_pixel
     n = scene.meta.width * scene.meta.height
     if scene.meta.use_binned:
-        # heavy intersector → short launches: small lane pool, 1 spp/launch
-        # (32768 lanes measured ~12% over 65536 on matpreview: smaller
-        # per-iteration working set, same total sweep work)
+        # heavy intersector → short launches: small lane pool, 1
+        # spp/launch (32768 lanes measured ~12% over 65536 on
+        # matpreview; 4-spp blocks measured ~10% SLOWER per path —
+        # the deeper queue holds a worse bounce mix for the cull lists)
         spp_block, lanes = 1, min(n, 32768)
     elif _use_kernel(scene):
         # fused-kernel scenes render ~40+ Mpaths/s: large blocks amortize

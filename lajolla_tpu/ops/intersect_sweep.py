@@ -10,8 +10,10 @@ culling. The SAH tree is cut into clusters of C triangles
 
 Two kernels:
 
-1. LIST-DRIVEN (default; table fits in VMEM — RESIDENT_BYTES):
-   culling runs OUTSIDE the kernel in dense XLA:
+1. LIST-DRIVEN (default): Woop table lives in HBM as (K, 16, C) —
+   triangles on lanes, cluster id on the untiled leading dim — and
+   listed clusters are DMA'd in double-buffered; culling runs OUTSIDE
+   the kernel in dense XLA:
      - exact per-lane slab tests against every supercluster AABB,
        any-reduced per ray block  ((N, S) -> (R, S) masks);
      - a conservative interval-arithmetic "ray bundle" test of each
@@ -27,7 +29,7 @@ Two kernels:
    6.6 ms of per-step machinery, and each in-kernel `jnp.any` gate
    ~2.8 us; this design pays neither.
 
-2. STREAMING (fallback for tables too big for VMEM): grid is
+2. STREAMING (fallback when C % 128 != 0, e.g. small scenes): grid is
    (ray blocks, superclusters); each step slab-gates and streams the
    supercluster's (G*C, 12) Woop block via BlockSpec DMA.
 
@@ -49,9 +51,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 INF = float('inf')
-BLOCK_R = 1024           # rays per resident block
+BLOCK_R = 1024           # rays per streaming block (lane dim)
+LANE_R = 512             # rays per list-driven block (SUBLANE dim)
 GROUP = 8                # clusters per supercluster
-RESIDENT_BYTES = 8 << 20  # Woop-table VMEM budget for the resident path
+RESIDENT_BYTES = 8 << 20  # whole Woop table VMEM-resident below this
+LIST_B = 128             # rays per block for the resident kernel:
+                         # fine blocks cut block-granular cull waste
+                         # (measured on matpreview bounce rays: 7.8x
+                         # over the per-ray ideal vs 17x at 512)
+LIST_LEN = 192           # per-block worklist capacity (overflow ->
+                         # full-K sweep for that block; keeps the SMEM
+                         # prefetch footprint at R*LIST_LEN words)
 
 
 # ---------------------------------------------------------------------------
@@ -91,8 +101,21 @@ def pack_sweep(cl, group=GROUP):
     prim[:K0] = cl_prim.astype(np.float32)
     assert cl_prim.max(initial=0) < (1 << 24), \
         "sweep prim ids stored as f32: exact only below 2^24"
+    # Lane-major copy for the list-driven kernel. VMEM pads the minor
+    # (lane) dimension to 128, so keeping the row-major (K*C, 12) table
+    # resident would occupy 128/12 ~ 10.7x its true size (44 MB for a
+    # 90k-row mesh -> scoped-VMEM OOM), and Mosaic can only dynamically
+    # index the UNTILED leading dim of a >=3D array. (K, 16, C) puts
+    # triangles on LANES with cluster id as the untiled leading dim:
+    # the per-cluster fetch is one (16, C) DMA — 12 Woop components +
+    # the prim-id row folded in as row 12, padded to 16 sublanes for
+    # DMA tiling (requires C % 128 == 0, see _call).
+    lane = np.zeros((K, 16, C), np.float32)
+    lane[:, :12, :] = sw.transpose(0, 2, 1)
+    lane[:, 12, :] = prim
     return dict(sw_A=sw.reshape(K * C, 12),
                 sw_prim=prim.reshape(K * C, 1),
+                sw_lane=lane,
                 sw_aabb=aabb, sw_saabb=saabb)
 
 
@@ -100,144 +123,389 @@ def pack_sweep(cl, group=GROUP):
 # XLA-side culling for the list-driven kernel
 # ---------------------------------------------------------------------------
 
-def _super_masks(scene, o, d, inv, tnear, tfar, R, B):
-    """Exact per-lane slab test vs every supercluster AABB, any-reduced
-    per ray block. (N,) rays -> (R, S) bool."""
-    sab = scene.sw_saabb                                   # (S, 8)
-    tmin = jnp.broadcast_to(tnear[:, None],
-                            (o.shape[0], sab.shape[0]))
+def _build_lists(scene, o, d, inv, tnear, tfar, R, B):
+    """Per-block compacted cluster worklists.
+
+    Returns (clist (R, K) i32, counts (R,) i32): clist[i, :counts[i]]
+    holds cluster ids whose AABB at least one of the block's rays
+    enters, ascending (preserves the SAH preorder's rough front-to-back
+    coherence within the block sort order)."""
+    ab = scene.sw_aabb                                     # (K, 8)
+    K = ab.shape[0]
+    N = o.shape[0]
+    tmin = jnp.broadcast_to(tnear[:, None], (N, K))
     tmax = jnp.broadcast_to(tfar[:, None], tmin.shape)
     for ax in range(3):
-        ta = (sab[None, :, ax] - o[:, ax, None]) * inv[:, ax, None]
-        tb = (sab[None, :, ax + 3] - o[:, ax, None]) * inv[:, ax, None]
+        ta = (ab[None, :, ax] - o[:, ax, None]) * inv[:, ax, None]
+        tb = (ab[None, :, ax + 3] - o[:, ax, None]) * inv[:, ax, None]
         tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
         tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
-    enter = tmin <= tmax                                   # (N, S)
-    return enter.reshape(R, B, -1).any(axis=1)
-
-
-def _bundle_member_masks(scene, o, inv, tnear, tfar, R, B):
-    """Conservative interval-arithmetic slab test of each ray BLOCK
-    against every member cluster AABB -> (R, K) bool. Each block is an
-    interval box [o_lo, o_hi] x [inv_lo, inv_hi]; the test can only
-    over-approximate the union of the block's per-lane tests."""
-    ab = scene.sw_aabb                                     # (K, 8)
-    o_lo = o.reshape(R, B, 3).min(axis=1)                  # (R, 3)
-    o_hi = o.reshape(R, B, 3).max(axis=1)
-    i_lo = inv.reshape(R, B, 3).min(axis=1)
-    i_hi = inv.reshape(R, B, 3).max(axis=1)
-    tn_lo = tnear.reshape(R, B).min(axis=1)                # (R,)
-    tf_hi = tfar.reshape(R, B).max(axis=1)
-    tmin_lb = jnp.broadcast_to(tn_lo[:, None], (R, ab.shape[0]))
-    tmax_ub = jnp.broadcast_to(tf_hi[:, None], tmin_lb.shape)
-    for ax in range(3):
-        lo = ab[None, :, ax]                               # (1, K)
-        hi = ab[None, :, ax + 3]
-        bounds = []
-        for corner in (lo - o_lo[:, ax, None], lo - o_hi[:, ax, None],
-                       hi - o_lo[:, ax, None], hi - o_hi[:, ax, None]):
-            bounds.append(corner * i_lo[:, ax, None])
-            bounds.append(corner * i_hi[:, ax, None])
-        ax_lb = functools.reduce(jnp.minimum, bounds)
-        ax_ub = functools.reduce(jnp.maximum, bounds)
-        tmin_lb = jnp.maximum(tmin_lb, ax_lb)
-        tmax_ub = jnp.minimum(tmax_ub, ax_ub)
-    return tmin_lb <= tmax_ub                              # (R, K)
-
-
-def _build_lists(scene, o, d, inv, tnear, tfar, R, B, S, G):
-    """Per-block compacted supercluster worklists.
-
-    Returns (clist (R, S) i32, counts (R,) i32): clist[i, :counts[i]]
-    holds packed words (supercluster id << G) | member-cluster bitmask,
-    ascending by supercluster id (preserves the SAH preorder's rough
-    front-to-back coherence within the block sort order)."""
-    smask = _super_masks(scene, o, d, inv, tnear, tfar, R, B)  # (R, S)
-    mmask = _bundle_member_masks(scene, o, inv, tnear, tfar, R, B)
-    bits = (mmask.reshape(R, S, G).astype(jnp.int32) <<
-            jnp.arange(G, dtype=jnp.int32)[None, None, :]).sum(axis=2)
-    smask = smask & (bits != 0)
-    sid = jnp.arange(S, dtype=jnp.int32)[None, :]
-    word = jnp.where(smask, (sid << G) | bits, jnp.int32(2 ** 30))
+    mask = (tmin <= tmax).reshape(R, B, K).any(axis=1)     # (R, K)
+    kid = jnp.arange(K, dtype=jnp.int32)[None, :]
+    word = jnp.where(mask, kid, jnp.int32(2 ** 30))
     clist = jnp.sort(word, axis=1)
-    counts = smask.sum(axis=1, dtype=jnp.int32)
+    counts = mask.sum(axis=1, dtype=jnp.int32)
     return clist, counts
 
 
+def _build_lists_ftb(scene, o, d, inv, tnear, tfar, R, B, L):
+    """Front-to-back per-block worklists for the resident kernel.
+
+    Returns (clist (R, L) i32, tlist (R, L) f32, counts (R,) i32):
+    cluster ids sorted by the block's earliest AABB entry distance,
+    with that distance alongside — the kernel breaks out of its sweep
+    once every ray's current best hit is closer than the next entry
+    distance (the wavefront analogue of ordered BVH traversal,
+    /root/reference/src/intersection.cpp:32 via Embree). A block whose
+    list overflows L gets counts = -K: the kernel falls back to
+    sweeping all K clusters in id order (correct, rare)."""
+    ab = scene.sw_aabb                                     # (K, 8)
+    K = ab.shape[0]
+    N = o.shape[0]
+    tmin = jnp.broadcast_to(tnear[:, None], (N, K))
+    tmax = jnp.broadcast_to(tfar[:, None], tmin.shape)
+    for ax in range(3):
+        ta = (ab[None, :, ax] - o[:, ax, None]) * inv[:, ax, None]
+        tb = (ab[None, :, ax + 3] - o[:, ax, None]) * inv[:, ax, None]
+        tmin = jnp.maximum(tmin, jnp.minimum(ta, tb))
+        tmax = jnp.minimum(tmax, jnp.maximum(ta, tb))
+    enter = (tmin <= tmax).reshape(R, B, K)
+    key = jnp.min(jnp.where(enter, tmin.reshape(R, B, K), INF),
+                  axis=1)                                  # (R, K)
+    counts_raw = jnp.sum(jnp.any(enter, axis=1), axis=1,
+                         dtype=jnp.int32)                  # (R,)
+    order = jnp.argsort(key, axis=1)[:, :L].astype(jnp.int32)
+    tlist = jnp.take_along_axis(key, order, axis=1)
+    counts = jnp.where(counts_raw > L, -jnp.int32(K),
+                       jnp.minimum(counts_raw, L))
+    return order, tlist, counts
+
+
+def _kernel_res(counts_ref, clist_ref, tlist_ref, ray_ref, A_ref,
+                t_o, k_o, *, C: int, L: int, any_hit: bool):
+    """Resident-table sweep: the whole (K, 16, C) Woop table lives in
+    VMEM, so each listed cluster is a dynamic leading-dim index — no
+    DMA. Front-to-back early-break per the _build_lists_ftb order.
+
+    Outputs only (t_best, winning cluster id): the u/v/prim extraction
+    is 5 extra cross-lane reductions per cluster (~2x the whole dense
+    test) and is DEFERRED to _resolve_hits, which re-tests each ray
+    against just its winning cluster."""
+    i = pl.program_id(0)
+    cnt = counts_ref[i]
+    over = cnt < 0
+    n_it = jnp.where(over, -cnt, cnt)
+    ox = ray_ref[:, 0:1]                   # (B, 1) sublane columns
+    oy = ray_ref[:, 1:2]
+    ozc = ray_ref[:, 2:3]
+    tnear = ray_ref[:, 3:4]
+    dx = ray_ref[:, 4:5]
+    dy = ray_ref[:, 5:6]
+    dzc = ray_ref[:, 6:7]
+    tfar = ray_ref[:, 7:8]
+
+    t_o[:] = jnp.full_like(t_o[:], INF)
+    k_o[:] = jnp.full_like(k_o[:], -1.0)
+
+    def cond(carry):
+        it, tcap = carry
+        tnext = jnp.where(over, -INF,
+                          tlist_ref[i, jnp.minimum(it, L - 1)])
+        return (it < n_it) & (tnext <= tcap)
+
+    def body(carry):
+        it, tcap = carry
+        kid = jnp.where(over, it, clist_ref[i, jnp.minimum(it, L - 1)])
+        row = A_ref[kid]                                   # (16, C)
+
+        def comp(j):
+            return row[j:j + 1, :]                         # (1, C)
+
+        def contract(c0, bias):
+            r = (ox * comp(c0) + oy * comp(c0 + 1) + ozc * comp(c0 + 2)
+                 if bias else
+                 dx * comp(c0) + dy * comp(c0 + 1) + dzc * comp(c0 + 2))
+            return r + comp(c0 + 3) if bias else r         # (B, C)
+
+        best = t_o[:]                                      # (B, 1)
+        lim = jnp.minimum(best, tfar)
+        oz = contract(8, True)
+        dz = contract(8, False)
+        safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+        t = -oz / safe_dz
+        u = contract(0, True) + t * contract(0, False)
+        v = contract(4, True) + t * contract(4, False)
+        hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
+               (u + v <= 1.0) & (t > tnear) & (t < lim))
+        t = jnp.where(hit, t, INF)
+        tbn = jnp.min(t, axis=1, keepdims=True)            # (B, 1)
+        better = tbn < best
+        nbest = jnp.where(better, tbn, best)
+        t_o[:] = nbest
+        k_o[:] = jnp.where(better, kid.astype(jnp.float32), k_o[:])
+        # The vector->scalar reduce feeding the break is a pipeline
+        # stall; refresh it every 8 clusters instead of every one
+        # (break granularity 8 — the win comes from skipping the list
+        # TAIL, which is dozens of clusters deep when it fires).
+        ncap = jax.lax.cond(
+            jax.lax.rem(it, 8) == 7,
+            lambda: jnp.max(jnp.minimum(nbest, tfar)),
+            lambda: tcap)
+        return it + 1, ncap
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), INF))
+
+
+def _kernel_resolve(dcounts_ref, dlist_ref, ray_ref, kid_ref, A_ref,
+                    p_o, u_o, v_o, *, C: int, D: int):
+    """u/v/prim extraction for rays grouped by winning cluster: each
+    128-ray block re-tests the (few) distinct clusters its rays won,
+    selecting the first triangle matching each ray's t_best exactly
+    (same f32 arithmetic as _kernel_res -> bitwise-equal t)."""
+    i = pl.program_id(0)
+    ox = ray_ref[:, 0:1]
+    oy = ray_ref[:, 1:2]
+    ozc = ray_ref[:, 2:3]
+    tnear = ray_ref[:, 3:4]
+    dx = ray_ref[:, 4:5]
+    dy = ray_ref[:, 5:6]
+    dzc = ray_ref[:, 6:7]
+    tbest = ray_ref[:, 7:8]
+    kidv = kid_ref[:]                                      # (B, 1)
+
+    p_o[:] = jnp.full_like(p_o[:], -1.0)
+    u_o[:] = jnp.zeros_like(u_o[:])
+    v_o[:] = jnp.zeros_like(v_o[:])
+
+    def body(j, _):
+        kid = dlist_ref[i, j]
+        row = A_ref[kid]
+
+        def comp(c):
+            return row[c:c + 1, :]
+
+        def contract(c0, bias):
+            r = (ox * comp(c0) + oy * comp(c0 + 1) + ozc * comp(c0 + 2)
+                 if bias else
+                 dx * comp(c0) + dy * comp(c0 + 1) + dzc * comp(c0 + 2))
+            return r + comp(c0 + 3) if bias else r
+
+        mine = (kidv == kid.astype(jnp.float32))           # (B, 1)
+        oz = contract(8, True)
+        dz = contract(8, False)
+        safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+        t = -oz / safe_dz
+        u = contract(0, True) + t * contract(0, False)
+        v = contract(4, True) + t * contract(4, False)
+        hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
+               (u + v <= 1.0) & (t > tnear) & (t == tbest))
+        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        first = jnp.min(jnp.where(hit, iota, C), axis=1, keepdims=True)
+        self_f = (hit & (iota == first)).astype(jnp.float32)
+        pn = jnp.sum(self_f * comp(12), axis=1, keepdims=True)
+        un = jnp.sum(self_f * u, axis=1, keepdims=True)
+        vn = jnp.sum(self_f * v, axis=1, keepdims=True)
+        take = mine & (first < C)
+        p_o[:] = jnp.where(take, pn, p_o[:])
+        u_o[:] = jnp.where(take, un, u_o[:])
+        v_o[:] = jnp.where(take, vn, v_o[:])
+        return 0
+
+    jax.lax.fori_loop(0, dcounts_ref[i], body, 0)
+
+
+def _resolve_hits(scene, o, d, tnear, t_best, kid_best, K):
+    """XLA wrapper for _kernel_resolve: sort rays by winning cluster so
+    each block spans ~1-2 distinct clusters, build per-block distinct
+    lists, run the kernel, unsort."""
+    Np = o.shape[0]
+    B = LIST_B
+    R = Np // B
+    C = scene.sw_lane.shape[2]
+    kmiss = jnp.where(kid_best < 0, jnp.int32(K), kid_best)
+    perm = jnp.argsort(kmiss)
+    rows = jnp.concatenate(
+        [o, tnear[:, None], d, t_best[:, None],
+         kmiss.astype(jnp.float32)[:, None]], axis=1)      # (Np, 9)
+    rows = rows[perm]
+    kid_s = rows[:, 8].astype(jnp.int32).reshape(R, B)
+    # distinct clusters per block (sorted order -> run starts)
+    isnew = jnp.concatenate(
+        [jnp.ones((R, 1), jnp.bool_), kid_s[:, 1:] != kid_s[:, :-1]],
+        axis=1) & (kid_s < K)
+    D = min(B, K)   # worst case: every ray in the block a distinct kid
+    word = jnp.where(isnew, kid_s, jnp.int32(2 ** 30))
+    dlist = jnp.sort(word, axis=1)[:, :D]
+    dcounts = isnew.sum(axis=1, dtype=jnp.int32)
+    rays = rows[:, :8]
+    kidf = rows[:, 8:9]
+    kern = functools.partial(_kernel_resolve, C=C, D=D)
+    out = lambda: pl.BlockSpec((B, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM)
+    p, u, v = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(R,),
+            in_specs=[
+                pl.BlockSpec((B, 8), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, 16, C), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out(), out(), out()],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32)] * 3,
+    )(dcounts, dlist, rays, kidf, scene.sw_lane)
+    inv = jnp.argsort(perm)
+    return p[inv, 0], u[inv, 0], v[inv, 0]
+
+
+def _call_res(scene, o, d, tnear, tfar, any_hit):
+    N = o.shape[0]
+    K = scene.sw_aabb.shape[0]
+    C = scene.sw_lane.shape[2]
+    B = LIST_B
+    pad = (-N) % B
+    if pad:
+        o = jnp.pad(o, ((0, pad), (0, 0)))
+        d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        tnear = jnp.pad(tnear, (0, pad))
+        tfar = jnp.pad(tfar, (0, pad), constant_values=-1.0)
+    Np = N + pad
+    R = Np // B
+    L = min(LIST_LEN, K)
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+    # Clamp each ray's horizon to its exit from the global geometry
+    # AABB: no hit can lie beyond it, and it makes ESCAPING rays (which
+    # never get a best hit) stop blocking the kernel's front-to-back
+    # early-break — without this, any block containing one miss-bound
+    # ray sweeps its whole worklist.
+    lo = jnp.min(scene.cl_lo, axis=0)
+    hi = jnp.max(scene.cl_hi, axis=0)
+    ta = (lo[None, :] - o) * inv
+    tb = (hi[None, :] - o) * inv
+    texit = jnp.min(jnp.maximum(ta, tb), axis=1)
+    tfar = jnp.minimum(tfar, texit * 1.0001 + 1e-5)
+    clist, tlist, counts = _build_lists_ftb(scene, o, d, inv, tnear,
+                                            tfar, R, B, L)
+    rays = jnp.concatenate([o, tnear[:, None], d, tfar[:, None]],
+                           axis=1)                         # (Np, 8)
+    kern = functools.partial(_kernel_res, C=C, L=L, any_hit=any_hit)
+    out = lambda: pl.BlockSpec((B, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM)
+    t, k = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(R,),
+            in_specs=[
+                pl.BlockSpec((B, 8), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, 16, C), lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[out(), out()],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32)] * 2,
+    )(counts, clist, tlist, rays, scene.sw_lane)
+    if any_hit:
+        return (t[:N, 0], jnp.where(t[:N, 0] < INF, 0, -1), t[:N, 0],
+                t[:N, 0])
+    p, u, v = _resolve_hits(scene, o, d, tnear, t[:, 0],
+                            k[:, 0].astype(jnp.int32), K)
+    return (t[:N, 0], p[:N].astype(jnp.int32), u[:N], v[:N])
+
+
 # ---------------------------------------------------------------------------
-# List-driven resident kernel
+# List-driven resident kernel (lane-major: triangles on lanes, rays on
+# sublanes — the orientation VMEM tiling actually supports at scale)
 # ---------------------------------------------------------------------------
 
-def _kernel_list(counts_ref, clist_ref, oT_ref, dT_ref, tn_ref, tf_ref,
-                 A_ref, prim_ref, t_o, p_o, u_o, v_o, *, C: int, G: int,
-                 any_hit: bool):
+def _kernel_lane(counts_ref, clist_ref, ray_ref, A_any,
+                 t_o, p_o, u_o, v_o, rowbuf, rsem,
+                 *, C: int, any_hit: bool):
     i = pl.program_id(0)
-    o = oT_ref[:]                          # (3, B)
-    d = dT_ref[:]
-    tnear = tn_ref[:]                      # (1, B)
-    tfar = tf_ref[:]
+    cnt = counts_ref[i]
+    ox = ray_ref[:, 0:1]                   # (B, 1) sublane columns
+    oy = ray_ref[:, 1:2]
+    ozc = ray_ref[:, 2:3]
+    tnear = ray_ref[:, 3:4]
+    dx = ray_ref[:, 4:5]
+    dy = ray_ref[:, 5:6]
+    dzc = ray_ref[:, 6:7]
+    tfar = ray_ref[:, 7:8]
 
     t_o[:] = jnp.full_like(t_o[:], INF)
     p_o[:] = jnp.full_like(p_o[:], -1.0)
     u_o[:] = jnp.zeros_like(u_o[:])
     v_o[:] = jnp.zeros_like(v_o[:])
 
+    # The Woop table stays in HBM (VMEM lane-pads a (K*C, 12) table
+    # 128/12 ~ 10.7x its true size) as (K, 16, C): Mosaic supports
+    # dynamic indexing on the UNTILED leading dim, so each listed
+    # cluster is one (16, C) DMA into a double-buffered scratch whose
+    # fetch overlaps the previous cluster's dense test.
+    def dma_row(slot, it):
+        kid = clist_ref[i, it]
+        return pltpu.make_async_copy(A_any.at[kid],
+                                     rowbuf.at[slot], rsem.at[slot])
+
+    @pl.when(cnt > 0)
+    def _warmup():
+        dma_row(0, 0).start()
+
     def body(it, _):
-        word = clist_ref[i, it]
-        sid = word >> G
+        slot = jax.lax.rem(it, 2)
+        nxt = jax.lax.rem(it + 1, 2)
 
-        # inner fori (not an unrolled python loop): ONE body instance,
-        # so the dense test's (C, B) temporaries are allocated once —
-        # unrolling G bodies multiplied kernel stack VMEM ~G-fold
-        def member(g, _):
-            @pl.when(((word >> g) & 1) == 1)
-            def _test():
-                best = t_o[:]
-                lim = jnp.minimum(best, tfar)
-                row0 = (sid * G + g) * C
-                A = A_ref[pl.dslice(row0, C), :]           # (C, 12)
+        @pl.when(it + 1 < cnt)
+        def _prefetch():
+            dma_row(nxt, it + 1).start()
 
-                def contract(c0, vec, bias):
-                    r = (A[:, c0:c0 + 1] * vec[0:1] +
-                         A[:, c0 + 1:c0 + 2] * vec[1:2] +
-                         A[:, c0 + 2:c0 + 3] * vec[2:3])
-                    return r + A[:, c0 + 3:c0 + 4] if bias else r
+        dma_row(slot, it).wait()
+        row = rowbuf[slot]                                 # (16, C)
 
-                oz = contract(8, o, True)
-                dz = contract(8, d, False)
-                safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
-                t = -oz / safe_dz
-                ox = contract(0, o, True)
-                dx = contract(0, d, False)
-                u = ox + t * dx
-                oy = contract(4, o, True)
-                dy = contract(4, d, False)
-                v = oy + t * dy
-                hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
-                       (u + v <= 1.0) & (t > tnear) & (t < lim))
-                t = jnp.where(hit, t, INF)
-                tbn = jnp.min(t, axis=0, keepdims=True)    # (1, B)
-                better = tbn < best
-                t_o[:] = jnp.where(better, tbn, best)
-                if any_hit:
-                    p_o[:] = jnp.where(better, 0.0, p_o[:])
-                else:
-                    sel = (t == tbn) & hit
-                    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape,
-                                                    0)
-                    first = jnp.min(jnp.where(sel, iota, C), axis=0,
-                                    keepdims=True)
-                    self_f = (sel & (iota == first)).astype(jnp.float32)
-                    prim = prim_ref[pl.dslice(row0, C), :]
-                    pn = jnp.sum(self_f * prim, axis=0, keepdims=True)
-                    un = jnp.sum(self_f * u, axis=0, keepdims=True)
-                    vn = jnp.sum(self_f * v, axis=0, keepdims=True)
-                    p_o[:] = jnp.where(better, pn, p_o[:])
-                    u_o[:] = jnp.where(better, un, u_o[:])
-                    v_o[:] = jnp.where(better, vn, v_o[:])
-            return 0
+        def comp(j):
+            return row[j:j + 1, :]                         # (1, C)
 
-        jax.lax.fori_loop(0, G, member, 0)
+        def contract(c0, bias):
+            r = (ox * comp(c0) + oy * comp(c0 + 1) + ozc * comp(c0 + 2)
+                 if bias else
+                 dx * comp(c0) + dy * comp(c0 + 1) + dzc * comp(c0 + 2))
+            return r + comp(c0 + 3) if bias else r         # (B, C)
+
+        best = t_o[:]                                      # (B, 1)
+        lim = jnp.minimum(best, tfar)
+        oz = contract(8, True)
+        dz = contract(8, False)
+        safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+        t = -oz / safe_dz
+        u = contract(0, True) + t * contract(0, False)
+        v = contract(4, True) + t * contract(4, False)
+        hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
+               (u + v <= 1.0) & (t > tnear) & (t < lim))
+        t = jnp.where(hit, t, INF)
+        tbn = jnp.min(t, axis=1, keepdims=True)            # (B, 1)
+        better = tbn < best
+        t_o[:] = jnp.where(better, tbn, best)
+        if any_hit:
+            p_o[:] = jnp.where(better, 0.0, p_o[:])
+        else:
+            sel = (t == tbn) & hit
+            iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            first = jnp.min(jnp.where(sel, iota, C), axis=1,
+                            keepdims=True)
+            self_f = (sel & (iota == first)).astype(jnp.float32)
+            prow = comp(12)                                # (1, C)
+            pn = jnp.sum(self_f * prow, axis=1, keepdims=True)
+            un = jnp.sum(self_f * u, axis=1, keepdims=True)
+            vn = jnp.sum(self_f * v, axis=1, keepdims=True)
+            p_o[:] = jnp.where(better, pn, p_o[:])
+            u_o[:] = jnp.where(better, un, u_o[:])
+            v_o[:] = jnp.where(better, vn, v_o[:])
         return 0
 
     jax.lax.fori_loop(0, counts_ref[i], body, 0)
@@ -246,40 +514,42 @@ def _kernel_list(counts_ref, clist_ref, oT_ref, dT_ref, tn_ref, tf_ref,
 def _call_list(scene, o, d, tnear, tfar, any_hit):
     N = o.shape[0]
     K = scene.sw_aabb.shape[0]
-    S = scene.sw_saabb.shape[0]
-    G = K // S
     C = scene.sw_A.shape[0] // K
-    pad = (-N) % BLOCK_R
+    pad = (-N) % LANE_R
     if pad:
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         tnear = jnp.pad(tnear, (0, pad))
         tfar = jnp.pad(tfar, (0, pad), constant_values=-1.0)
     Np = N + pad
-    R = Np // BLOCK_R
+    R = Np // LANE_R
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
     clist, counts = _build_lists(scene, o, d, inv, tnear, tfar, R,
-                                 BLOCK_R, S, G)
-    kern = functools.partial(_kernel_list, C=C, G=G, any_hit=any_hit)
-    ray = lambda r: pl.BlockSpec((r, BLOCK_R), lambda i, *_: (0, i),
-                                 memory_space=pltpu.VMEM)
-    whole = lambda a: pl.BlockSpec(a.shape, lambda i, *_: (0, 0),
-                                   memory_space=pltpu.VMEM)
+                                 LANE_R)
+    rays = jnp.concatenate([o, tnear[:, None], d, tfar[:, None]],
+                           axis=1)                         # (Np, 8)
+    kern = functools.partial(_kernel_lane, C=C, any_hit=any_hit)
+    out = lambda: pl.BlockSpec((LANE_R, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM)
     t, p, u, v = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(R,),
             in_specs=[
-                ray(3), ray(3), ray(1), ray(1),
-                whole(scene.sw_A), whole(scene.sw_prim),
+                pl.BlockSpec((LANE_R, 8), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[ray(1), ray(1), ray(1), ray(1)],
+            out_specs=[out(), out(), out(), out()],
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, C), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
         ),
-        out_shape=[jax.ShapeDtypeStruct((1, Np), jnp.float32)] * 4,
-    )(counts, clist, o.T, d.T, tnear[None, :], tfar[None, :],
-      scene.sw_A, scene.sw_prim)
-    return (t[0, :N], p[0, :N].astype(jnp.int32), u[0, :N], v[0, :N])
+        out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32)] * 4,
+    )(counts, clist, rays, scene.sw_lane)
+    return (t[:N, 0], p[:N, 0].astype(jnp.int32), u[:N, 0], v[:N, 0])
 
 
 # ---------------------------------------------------------------------------
@@ -414,7 +684,11 @@ def _call_streaming(scene, o, d, tnear, tfar, any_hit):
 
 
 def _call(scene, o, d, tnear, tfar, any_hit):
-    if scene.sw_A.size * 4 <= RESIDENT_BYTES:
+    K = scene.sw_aabb.shape[0]
+    C = scene.sw_A.shape[0] // K
+    if C % 128 == 0:
+        if scene.sw_lane.size * 4 <= RESIDENT_BYTES:
+            return _call_res(scene, o, d, tnear, tfar, any_hit)
         return _call_list(scene, o, d, tnear, tfar, any_hit)
     return _call_streaming(scene, o, d, tnear, tfar, any_hit)
 

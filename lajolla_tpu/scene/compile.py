@@ -224,12 +224,12 @@ def compile_scene(b):
     if use_binned:
         from lajolla_tpu.ops.intersect_binned import build_clusters
         from lajolla_tpu.ops.intersect_sweep import pack_sweep
-        # C=32 clusters: the sweep kernel cull granularity
-        # (a false-positive gate costs C*~45 lane-ops)
-        
+        # C=128 clusters: one full lane-register row per cluster in
+        # the resident lane-major sweep kernel (C must be a multiple
+        # of 128 for its static lane slices)
         cl = build_clusters(bvh, p0.astype(np.float32),
                             e1.astype(np.float32), e2.astype(np.float32),
-                            max_tris=32)
+                            max_tris=128)
         sw = pack_sweep(cl)
     else:
         cl = dict(cl_lo=np.zeros((1, 3), np.float32),
@@ -239,6 +239,7 @@ def compile_scene(b):
                   cl_prim=np.full((1, 1), -1, np.int32))
         sw = dict(sw_A=np.zeros((1, 12), np.float32),
                   sw_prim=np.full((1, 1), -1.0, np.float32),
+                  sw_lane=np.zeros((1, 16, 1), np.float32),
                   sw_aabb=np.zeros((1, 8), np.float32),
                   sw_saabb=np.zeros((1, 8), np.float32))
 
@@ -670,6 +671,7 @@ def compile_scene(b):
         cl_A=_f32(cl['cl_A']), cl_b=_f32(cl['cl_b']),
         cl_prim=_i32(cl['cl_prim']),
         sw_A=_f32(sw['sw_A']), sw_prim=_f32(sw['sw_prim']),
+        sw_lane=_f32(sw['sw_lane']),
         sw_aabb=_f32(sw['sw_aabb']), sw_saabb=_f32(sw['sw_saabb']),
         fp_woop=_f32(fp_woop), fp_tri=_f32(fp_tri), fp_light=_f32(fp_light),
         fp_sph=_f32(fp_sph),

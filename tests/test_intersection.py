@@ -174,6 +174,7 @@ def test_sweep_matches_brute_force():
     class S:
         sw_A = jnp.asarray(p['sw_A'])
         sw_prim = jnp.asarray(p['sw_prim'])
+        sw_lane = jnp.asarray(p['sw_lane'])
         sw_aabb = jnp.asarray(p['sw_aabb'])
         sw_saabb = jnp.asarray(p['sw_saabb'])
         cl_lo = jnp.asarray(cl['cl_lo'])
