@@ -95,17 +95,19 @@ def parse_matrix_string(s):
 # ---------------------------------------------------------------------------
 
 def xform_point(m, p):
-    """m: (4,4), p: (..., 3)"""
-    r = jnp.einsum('ij,...j->...i', m[:3, :3], p) + m[:3, 3]
-    w = jnp.einsum('j,...j->...', m[3, :3], p) + m[3, 3]
+    """m: (4,4), p: (..., 3). Elementwise mul+sum, not einsum: dot_general
+    at DEFAULT precision is bf16 on the TPU MXU — see core/math.to_local
+    for the measured bias this caused."""
+    r = (m[:3, :3] * p[..., None, :]).sum(-1) + m[:3, 3]
+    w = (m[3, :3] * p).sum(-1) + m[3, 3]
     return r / w[..., None]
 
 
 def xform_vector(m, v):
-    return jnp.einsum('ij,...j->...i', m[:3, :3], v)
+    return (m[:3, :3] * v[..., None, :]).sum(-1)
 
 
 def xform_normal(m_inv, n):
     """Transform a normal by M: multiply by (M^-1)^T. Pass the *inverse*
     matrix. Result is not normalized."""
-    return jnp.einsum('ji,...j->...i', m_inv[:3, :3], n)
+    return (m_inv[:3, :3] * n[..., :, None]).sum(-2)
