@@ -304,13 +304,24 @@ def _render_block_kernel(scene, options, seed, s0, nspp, lanes, n, end):
     return film.reshape(scene.meta.height, w, 3)
 
 
-@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes'))
-def _render_block(scene, options, seed, s0, nspp, lanes=None):
+@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes',
+                                   'early_exit'))
+def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
+                     early_exit=False):
     """Render nspp samples/pixel (sample indices s0..s0+nspp) of the full
-    film via the persistent-wavefront queue. Returns the film SUM (not
-    mean) so callers can combine blocks. `lanes` < n*nspp shrinks the
-    worker pool (shorter device launches for heavy scenes) — the queue
-    semantics are unchanged."""
+    film via the persistent-wavefront queue. Returns (film_sum (n_q, 3),
+    final state). `lanes` < n*nspp shrinks the worker pool (shorter
+    device launches for heavy scenes) — the queue semantics are
+    unchanged.
+
+    early_exit=True stops the loop once live lanes fall to
+    lanes // DRAIN_DIV (which can only happen after the work queue is
+    exhausted — until then dead lanes regenerate immediately). The
+    caller compacts the survivors into a DRAIN_DIV-times smaller pool
+    and finishes them with _drain_block: the last ~40%% of iterations
+    on a binned scene run at <25%% occupancy but near-full step cost
+    (the per-step sort / cull-list glue is shape-bound, not
+    occupancy-bound)."""
     w = scene.meta.width
     h = scene.meta.height
     n = w * h
@@ -354,6 +365,13 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
 
     def cond(carry):
         st, film = carry
+        if early_exit:
+            # keep going while any lane still has queued work (a lane
+            # that dies with next_item < end regenerates, which the
+            # drain loop does not do) or while survivors outnumber the
+            # drain pool
+            has_queue = jnp.any(st[0] + lanes < end)
+            return has_queue | (jnp.sum(~st[11]) > (lanes // DRAIN_DIV))
         return ~jnp.all(st[11])
 
     def body(carry):
@@ -396,8 +414,77 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
         )
         return (state_new, film)
 
-    (_, film) = jax.lax.while_loop(cond, body, (state, film0))
-    return film[:n].reshape(h, w, 3)
+    (st, film) = jax.lax.while_loop(cond, body, (state, film0))
+    return film, st
+
+
+def _render_block(scene, options, seed, s0, nspp, lanes=None):
+    """Back-compat wrapper: full render to an (h, w, 3) film sum."""
+    w, h = scene.meta.width, scene.meta.height
+    film, _ = _render_block_sc(scene, options, seed, s0, nspp, lanes)
+    return film[:w * h].reshape(h, w, 3)
+
+
+DRAIN_DIV = 4
+
+
+@partial(jax.jit, static_argnames=('options',))
+def _drain_block(scene, options, seed, st):
+    """Finish the compacted survivors of an early-exited
+    _render_block_sc. Drained lanes never regenerate, so each lane's
+    radiance lands on one fixed pixel: no per-step film splat — latch L
+    at death and return (item, L_final) for ONE host-side scatter.
+    Estimator-identical to the in-loop path: the RNG stream is keyed on
+    (seed, item, nv) only, independent of lane position or pool width."""
+    su = jnp.uint32(seed)
+    kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
+            jnp.uint32(_GOLD))[None, :]
+    L_final = jnp.zeros_like(st[7])
+
+    def cond(carry):
+        st, _ = carry
+        return ~jnp.all(st[11])
+
+    def body(carry):
+        st, Lf = carry
+        hb = _pcg_hash(st[0].astype(jnp.uint32) ^
+                       _pcg_hash(st[1].astype(jnp.uint32) ^ su))
+        uN = _hash_u01(_pcg_hash(hb[:, None] + kidx))
+        nst, died = jax.vmap(
+            lambda u, *s: _advance_lane(scene, options, s, u))(uN, *st)
+        Lf = jnp.where(died[:, None], nst[7], Lf)
+        nst = nst[:11] + (nst[11] | died,)
+        return (nst, Lf)
+
+    st, L_final = jax.lax.while_loop(cond, body, (st, L_final))
+    return st[0], L_final
+
+
+def _render_block_drained(scene, options, seed, s0, nspp, lanes):
+    """Host driver for one queue block with tail compaction: run the
+    wavefront at full width until survivors fit in a DRAIN_DIV-smaller
+    pool, then finish them there. Returns the (n_q, 3) film-sum ndarray."""
+    import numpy as np
+    n = scene.meta.width * scene.meta.height
+    n_q = -(-n // lanes) * lanes
+    film, st = _render_block_sc(scene, options, seed, s0, nspp, lanes,
+                                early_exit=True)
+    film = np.array(film)   # writable copy (np.asarray of a jax array
+                            # is a read-only view)
+    done = np.asarray(st[11])
+    if not done.all():
+        width = max(lanes // DRAIN_DIV, 1)
+        alive = np.nonzero(~done)[0]
+        idx = np.zeros(width, np.int64)
+        idx[:len(alive)] = alive
+        stc = [np.asarray(x)[idx] for x in st]
+        stc[11] = np.ones(width, bool)
+        stc[11][:len(alive)] = False
+        items, L = _drain_block(scene, options, seed,
+                                tuple(jnp.asarray(x) for x in stc))
+        pix = np.asarray(items).astype(np.int64) % n_q
+        np.add.at(film, pix, np.asarray(L))
+    return film
 
 
 def render_path(scene, options, seed=0, checkpoint=None, progress=False):
@@ -432,10 +519,17 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
                             (scene.meta.height, scene.meta.width, 3))
     rep = ProgressReporter(spp, enabled=progress)
     rep.done = s0
+    h, w = scene.meta.height, scene.meta.width
     while s0 < spp:
         ns = min(spp_block, spp - s0)
-        block = np.asarray(_render_block(scene, options, seed, s0, ns,
-                                         lanes))
+        if scene.meta.use_binned:
+            # tail compaction: the drain phase of a binned-scene launch
+            # is ~40% of its iterations at <25% occupancy
+            block = _render_block_drained(scene, options, seed, s0, ns,
+                                          lanes)[:n].reshape(h, w, 3)
+        else:
+            block = np.asarray(_render_block(scene, options, seed, s0,
+                                             ns, lanes))
         img = block if img is None else img + block
         s0 += ns
         rep.update(ns)
