@@ -1153,6 +1153,8 @@ def _render_volpath_simple_block(scene, options, seed, s0, nspp, p0=0,
 
 VOL_SPP_BLOCK = 4
 VOL_LANES = 131072
+GRID_LANES = 16384     # grid-media pool (worker-stability bound; see
+                       # render_volpath chunking)
 
 
 def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
@@ -1166,7 +1168,7 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     simple = options.vol_path_version in (1, 2)
     # heterogeneous media run long null-collision chains → shorter
     # launches (the lockstep inner loop can run hundreds of iterations)
-    lanes = min(16384 if scene.meta.has_grid_volumes else VOL_LANES, n)
+    lanes = min(GRID_LANES if scene.meta.has_grid_volumes else VOL_LANES, n)
     spp_block = 1 if scene.meta.has_grid_volumes else VOL_SPP_BLOCK
 
     img, spp_done = None, 0
