@@ -1024,9 +1024,10 @@ def volpath2_trace_one(scene, options, px, py, key):
 # Drivers
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes', 'count'))
+@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes', 'count',
+                                   'early_exit'))
 def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
-                          i0=0, count=None):
+                          i0=0, count=None, early_exit=False):
     """Persistent-wavefront queue over (pixel, sample) work items for the
     final integrator. Two statically-selected lane-advance engines:
 
@@ -1085,6 +1086,11 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
 
     def cond(carry):
         st, film = carry
+        if early_exit:
+            # see path.py _render_block_sc: stop once the queue is fully
+            # consumed and survivors fit the DRAIN_DIV-smaller pool
+            has_queue = jnp.any(st[0] + lanes < end)
+            return has_queue | (jnp.sum(~st[-1]) > (lanes // VOL_DRAIN_DIV))
         return ~jnp.all(st[-1])
 
     def body(carry):
@@ -1118,7 +1124,64 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
                 state_new.append(jnp.where(regen, f_i, cur))
         return (tuple(state_new), film)
 
-    (_, film) = jax.lax.while_loop(cond, body, (state, film0))
+    (st, film) = jax.lax.while_loop(cond, body, (state, film0))
+    return film, st
+
+
+VOL_DRAIN_DIV = 4
+
+
+@partial(jax.jit, static_argnames=('options',))
+def _drain_volpath_block(scene, options, seed, st):
+    """Finish the compacted survivors of an early-exited
+    _render_volpath_block: no regeneration, so each lane's radiance
+    latches at death and lands in ONE host-side scatter (see path.py
+    _drain_block)."""
+    su = _pcg_hash(jnp.uint32(seed) ^ jnp.uint32(0x701A77E5))
+    use_machine = scene.meta.has_grid_volumes
+    advance = _advance_event if use_machine else _advance_vol_lane
+    L_final = jnp.zeros_like(st[5])
+
+    def cond(carry):
+        st, _ = carry
+        return ~jnp.all(st[-1])
+
+    def body(carry):
+        st, Lf = carry
+        nst, died = jax.vmap(
+            lambda *s: advance(scene, options, s, su))(*st)
+        L = nst[5]
+        Lf = jnp.where(died[:, None] & jnp.isfinite(L), L, Lf)
+        nst = nst[:-1] + (nst[-1] | died,)
+        return (nst, Lf)
+
+    st, L_final = jax.lax.while_loop(cond, body, (st, L_final))
+    return st[0], L_final
+
+
+def _render_volpath_block_drained(scene, options, seed, s0, nspp, lanes,
+                                  i0=0, count=None):
+    """Host wrapper: full-width wavefront until survivors fit a
+    VOL_DRAIN_DIV-smaller pool, then drain them there. Returns the
+    (n, 3) film-sum ndarray."""
+    import numpy as np
+    n = scene.meta.width * scene.meta.height
+    film, st = _render_volpath_block(scene, options, seed, s0, nspp,
+                                     lanes, i0, count, early_exit=True)
+    film = np.array(film)
+    done = np.asarray(st[-1])
+    if not done.all():
+        width = max(lanes // VOL_DRAIN_DIV, 1)
+        alive = np.nonzero(~done)[0]
+        idx = np.zeros(width, np.int64)
+        idx[:len(alive)] = alive
+        stc = [np.asarray(x)[idx] for x in st]
+        stc[-1] = np.ones(width, bool)
+        stc[-1][:len(alive)] = False
+        items, L = _drain_volpath_block(
+            scene, options, seed, tuple(jnp.asarray(x) for x in stc))
+        pix = np.asarray(items).astype(np.int64) % n
+        np.add.at(film, pix, np.asarray(L))
     return film
 
 
@@ -1190,14 +1253,14 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
                                                  ns, 0, n)
             img += np.asarray(block)
         elif chunk is None:
-            img += np.asarray(_render_volpath_block(scene, options, seed,
-                                                    s0, ns, lanes))
+            img += _render_volpath_block_drained(scene, options, seed,
+                                                 s0, ns, lanes)
         else:
             i0 = 0
             while i0 < n * ns:
                 c = min(chunk, n * ns - i0)
-                img += np.asarray(_render_volpath_block(
-                    scene, options, seed, s0, ns, lanes, i0, c))
+                img += _render_volpath_block_drained(
+                    scene, options, seed, s0, ns, lanes, i0, c)
                 i0 += c
         s0 += ns
         rep.update(ns)
