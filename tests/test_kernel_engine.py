@@ -57,3 +57,36 @@ def test_fused_kernel_matches_scalar_engine(scene_file, spp, tol):
     # flips a comparison)
     rel = np.abs(img_k - img_s) / (img_s + 1e-3)
     assert np.median(rel) < 1e-4
+
+
+@pytest.mark.skipif(
+    __import__('jax').default_backend() != 'tpu',
+    reason="compiled-Mosaic pin (TPU-only)")
+def test_fused_kernel_compiled_pin():
+    """Compiled-kernel numeric pin: the SAME fused megakernel render,
+    Mosaic-compiled vs Pallas interpreter mode, on a downscaled cbox.
+    The interpreter lowers through plain XLA, so a disagreement here
+    localizes a Mosaic compilation regression in minutes instead of a
+    21-minute suite run (the golden gates catch it too, but only
+    statistically and much later)."""
+    import dataclasses
+    import lajolla_tpu.integrators.path_megakernel as MK
+    from lajolla_tpu.scene.parser import parse_scene
+
+    scene, options = parse_scene(os.path.join(REF, 'cbox/cbox.xml'))
+    scene = dataclasses.replace(
+        scene, meta=dataclasses.replace(scene.meta, width=128, height=64))
+    spp = 4
+    img_c = np.asarray(MK.render_fused(scene, options, 0, 0, spp)) / spp
+    old = MK.INTERPRET
+    MK.INTERPRET = True
+    try:
+        img_i = np.asarray(MK.render_fused(scene, options, 0, 0,
+                                           spp)) / spp
+    finally:
+        MK.INTERPRET = old
+    assert np.isfinite(img_c).all()
+    rel = np.abs(img_c - img_i) / (img_i + 1e-3)
+    # identical algorithm + RNG stream; only fp scheduling differs
+    assert np.median(rel) < 1e-4, float(np.median(rel))
+    assert abs(img_c.mean() - img_i.mean()) / img_i.mean() < 5e-3
