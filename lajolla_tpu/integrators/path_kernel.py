@@ -433,8 +433,8 @@ def _cone_pdf_area(c, r, ref, point, n, dl, dist2):
 
 
 def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
-                  W, tri, light, stair, sph,
-                  *, T: int, L: int, S: int, mats: tuple,
+                  W, W_occ, tri, light, stair, sph,
+                  *, T: int, T_OCC: int, L: int, S: int, mats: tuple,
                   eps_isect: float, eps_shadow: float,
                   max_depth: int, rr_depth: int, max_cap: int):
     """One path-vertex advance on plain (row, B) arrays; shared by the
@@ -653,7 +653,9 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
     sh_o = jnp.concatenate([px, py, pz], axis=0)
     sh_d = jnp.concatenate([dlx, dly, dlz], axis=0)
     sh_far = (1.0 - eps_shadow) * dist
-    occ = _occluded(sh_o, sh_d, eps_shadow, sh_far, W, T)
+    # occluder subset: convex-envelope tris can't block an interior
+    # shadow segment (scene/compile.py fp_woop_occ — cbox drops 10 of 32)
+    occ = _occluded(sh_o, sh_d, eps_shadow, sh_far, W_occ, T_OCC)
     if S:
         occ = occ | _sphere_anyhit(sh_o, sh_d, eps_shadow, sh_far, sph, S)
 
@@ -708,14 +710,16 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
 
 def _kernel(org_ref, dir_ref, thr_ref, rad_ref, nv_ref, dp_ref, pp_ref,
             un_ref, act_ref,
-            woop_ref, tri_ref, light_ref, stair_ref, sph_ref,
+            woop_ref, woop_occ_ref, tri_ref, light_ref, stair_ref,
+            sph_ref,
             org_o, dir_o, thr_o, rad_o, dp_o, pp_o, alive_o,
             **statics):
     act_in = act_ref[:] > 0   # (1, B)
     org2, dir2, thr2, rad2, dp2, alive = _advance_core(
         org_ref[:], dir_ref[:], thr_ref[:], rad_ref[:], nv_ref[:],
         dp_ref[:], pp_ref[:], un_ref[:], act_in,
-        woop_ref[:], tri_ref[:], light_ref[:], stair_ref[:], sph_ref[:],
+        woop_ref[:], woop_occ_ref[:], tri_ref[:], light_ref[:],
+        stair_ref[:], sph_ref[:],
         **statics)
     org_o[:] = org2
     dir_o[:] = dir2
@@ -754,8 +758,10 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
     Np = N + pad
 
     S = scene.meta.num_spheres
+    T_OCC = scene.fp_woop_occ.shape[0]
     kern = functools.partial(
-        _kernel, T=T, L=L, S=S, mats=scene.meta.mat_types_present,
+        _kernel, T=T, T_OCC=T_OCC, L=L, S=S,
+        mats=scene.meta.mat_types_present,
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
         max_depth=options.max_depth, rr_depth=options.rr_depth,
@@ -772,7 +778,8 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
         in_specs=[row_spec(3), row_spec(3), row_spec(3), row_spec(3),
                   row_spec(1), row_spec(1), row_spec(3), row_spec(8),
                   row_spec(1),
-                  tab_spec((3 * T, 4)), tab_spec((40, T)), tab_spec((16, L)),
+                  tab_spec((3 * T, 4)), tab_spec((3 * T_OCC, 4)),
+                  tab_spec((40, T)), tab_spec((16, L)),
                   tab_spec((1, T)), tab_spec((max(S, 1), 24))],
         out_specs=[row_spec(3), row_spec(3), row_spec(3), row_spec(3),
                    row_spec(1), row_spec(3), row_spec(1)],
@@ -784,7 +791,8 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
                    jax.ShapeDtypeStruct((3, Np), jnp.float32),
                    jax.ShapeDtypeStruct((1, Np), jnp.float32)],
     )(orgp, dirp, thrp, radp, nvp, dpp, prevp, unp, actp,
-      _woop_mat(scene.fp_woop), scene.fp_tri, scene.fp_light,
+      _woop_mat(scene.fp_woop), _woop_mat(scene.fp_woop_occ),
+      scene.fp_tri, scene.fp_light,
       scene.tri_stair_cdf[None, :], scene.fp_sph)
     org2, dir2, thr2, rad2, dp2, pp2, alive = outs
     return (org2[:, :N], dir2[:, :N], thr2[:, :N], rad2[:, :N],

@@ -102,9 +102,9 @@ def _primary(item, px, py, su, cam, *, w, h, filter_type, filter_param):
     return org, d
 
 
-def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, tri_ref, light_ref,
-            stair_ref, sph_ref, film_o, *, n, w, h, nspp, filter_type,
-            filter_param, **statics):
+def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, woop_occ_ref, tri_ref,
+            light_ref, stair_ref, sph_ref, film_o, *, n, w, h, nspp,
+            filter_type, filter_param, **statics):
     su = seed_ref[0]                  # uint32 scalar
     s0 = s0_ref[0]
     pid = pl.program_id(0)
@@ -115,6 +115,7 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, tri_ref, light_ref,
     py = (pixel // w).astype(jnp.float32)
     cam = cam_ref
     woop = woop_ref[:]
+    woop_occ = woop_occ_ref[:]
     tri = tri_ref[:]
     light = light_ref[:]
     stair = stair_ref[:]
@@ -148,7 +149,7 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, tri_ref, light_ref,
         un = _u01(_pcg_hash(hb + kidx))           # (8, B)
         org2, d2, thr2, rad2, dp2, alive = _advance_core(
             org, d, thr, rad, nv.astype(jnp.float32), dir_pdf, prev, un,
-            act, woop, tri, light, stair, sph, **statics)
+            act, woop, woop_occ, tri, light, stair, sph, **statics)
         died = act & ~alive
         # NaN/Inf exclusion on the splat (render.cpp:140-143): one
         # non-finite path must not poison its pixel for the whole launch.
@@ -190,10 +191,11 @@ def render_fused(scene, options, seed, s0, nspp):
                            scene.cam_to_world.reshape(-1)]).astype(
                                jnp.float32)
     S = scene.meta.num_spheres
+    T_OCC = scene.fp_woop_occ.shape[0]
     kern = functools.partial(
         _kernel, n=n, w=w, h=h, nspp=nspp,
         filter_type=options.filter_type, filter_param=options.filter_param,
-        T=T, L=L, S=S, mats=scene.meta.mat_types_present,
+        T=T, T_OCC=T_OCC, L=L, S=S, mats=scene.meta.mat_types_present,
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
         max_depth=options.max_depth, rr_depth=options.rr_depth,
@@ -206,12 +208,14 @@ def render_fused(scene, options, seed, s0, nspp):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tab((3 * T, 4)), tab((40, T)), tab((16, L)), tab((1, T)),
+                  tab((3 * T, 4)), tab((3 * T_OCC, 4)), tab((40, T)),
+                  tab((16, L)), tab((1, T)),
                   tab((max(S, 1), 24))],
         out_specs=pl.BlockSpec((3, BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         interpret=INTERPRET,
-    )(seed_a, s0_a, cam, _woop_mat(scene.fp_woop), scene.fp_tri,
+    )(seed_a, s0_a, cam, _woop_mat(scene.fp_woop),
+      _woop_mat(scene.fp_woop_occ), scene.fp_tri,
       scene.fp_light, scene.tri_stair_cdf[None, :], scene.fp_sph)
     return film.T.reshape(h, w, 3)

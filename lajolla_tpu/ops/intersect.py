@@ -110,6 +110,25 @@ def _brute_force_batched(scene, o, d, tnear, tfar):
             u[rows, i], v[rows, i])
 
 
+def _occluded_batched(scene, o, d, tnear, tfar):
+    """Any-hit over the OCCLUDER SUBSET (convex-envelope tris can never
+    block a shadow segment; scene/compile.py tri_woop_*_occ)."""
+    A, bvec = scene.tri_woop_A_occ, scene.tri_woop_b_occ
+    T = A.shape[1] // 3
+    hp = jax.lax.Precision.HIGHEST
+    op = jnp.dot(o, A, precision=hp) + bvec
+    dp = jnp.dot(d, A, precision=hp)
+    ox, oy, oz = op[:, :T], op[:, T:2 * T], op[:, 2 * T:]
+    dx, dy, dz = dp[:, :T], dp[:, T:2 * T], dp[:, 2 * T:]
+    safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
+    t = -oz / safe_dz
+    u = ox + t * dx
+    v = oy + t * dy
+    hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
+           (u + v <= 1.0) & (t > tnear[:, None]) & (t < tfar[:, None]))
+    return hit.any(axis=1)
+
+
 @jax.custom_batching.custom_vmap
 def brute_force_triangles(scene, o, d, tnear, tfar):
     return _brute_force_scalar(scene, o, d, tnear, tfar)
@@ -176,8 +195,7 @@ def _occluded_vmap_rule(axis_size, in_batched, scene, o, d, tnear, tfar):
         from lajolla_tpu.ops.intersect_pallas import occluded_brute_pallas
         out = occluded_brute_pallas(scene, o, d, tnear, tfar)
     else:
-        t, prim, _, _ = _brute_force_batched(scene, o, d, tnear, tfar)
-        out = prim >= 0
+        out = _occluded_batched(scene, o, d, tnear, tfar)
     return out, True
 
 

@@ -73,9 +73,8 @@ def _kernel(o_ref, d_ref, tn_ref, tf_ref, Ax_ref, Ay_ref, Az_ref,
         v_ref[0, :] = jnp.zeros_like(t_best)
 
 
-def _call(scene, o, d, tnear, tfar, want_uv):
+def _call(scene, o, d, tnear, tfar, want_uv, occ_only=False):
     N = o.shape[0]
-    T = scene.tri_p0.shape[0]
     pad = (-N) % BLOCK_B
     if pad:
         o = jnp.pad(o, ((0, pad), (0, 0)))
@@ -85,9 +84,13 @@ def _call(scene, o, d, tnear, tfar, want_uv):
     Np = N + pad
     tn2 = tnear[None, :]
     tf2 = tfar[None, :]
-    # per-axis (T, 4) transform rows [a0 a1 a2 bias]
-    A = scene.tri_woop_A          # (3, 3T)
-    b = scene.tri_woop_b          # (3T,)
+    # per-axis (T, 4) transform rows [a0 a1 a2 bias]. occ_only: the
+    # occluder subset (convex-envelope tris can never block a shadow
+    # segment — scene/compile.py) — prim ids then index the SUBSET and
+    # are only valid as a hit/miss boolean.
+    A = scene.tri_woop_A_occ if occ_only else scene.tri_woop_A
+    b = scene.tri_woop_b_occ if occ_only else scene.tri_woop_b
+    T = A.shape[1] // 3
     Ax = jnp.concatenate([A[:, :T].T, b[:T, None]], axis=1)
     Ay = jnp.concatenate([A[:, T:2 * T].T, b[T:2 * T, None]], axis=1)
     Az = jnp.concatenate([A[:, 2 * T:].T, b[2 * T:, None]], axis=1)
@@ -133,5 +136,6 @@ def intersect_brute_pallas(scene, o, d, tnear, tfar):
 
 def occluded_brute_pallas(scene, o, d, tnear, tfar):
     """Any-hit variant: returns bool (N,)."""
-    t, _, _, _ = _call(scene, o, d, tnear, tfar, want_uv=False)
+    t, _, _, _ = _call(scene, o, d, tnear, tfar, want_uv=False,
+                       occ_only=True)
     return t < INF

@@ -601,6 +601,48 @@ def compile_scene(b):
         fp_sph[:, 14] = light_pmf[sl_c] * s_is_l
         fp_sph[:, 15:18] = light_intensity[sl_c] * s_is_l[:, None]
 
+    # ------------------------------------------ occluder subset (fast path)
+    # A triangle on the scene's convex envelope — ALL geometry on one side
+    # of its plane — can never intersect a shadow segment whose endpoints
+    # both lie on/inside the hull, which is every area/sphere-light NEE
+    # ray (path_tracing.h:119-131: surface point → light point). Envmap
+    # shadow rays extend to infinity, so envmap scenes keep the full set
+    # (the fast-path kernels exclude envmaps anyway). cbox: the 5 room
+    # walls (10 of 32 tris) drop out of every occlusion sweep.
+    fp_woop_occ = fp_woop
+    if 0 < num_tris <= 4096 and not (b.envmap_light_id >= 0):
+        nrm = np.cross(e1, e2)
+        ln = np.linalg.norm(nrm, axis=1)
+        ok_n = ln > 1e-18
+        nrm = np.where(ok_n[:, None],
+                       nrm / np.maximum(ln, 1e-18)[:, None], 0.0)
+        dpl = np.einsum('td,td->t', nrm, p0)
+        tv = np.concatenate([p0, p0 + e1, p0 + e2], axis=0)
+        sdist = tv @ nrm.T - dpl[None, :]             # (3T, T)
+        smax = sdist.max(axis=0)
+        smin = sdist.min(axis=0)
+        if spheres:
+            sc = sph_center @ nrm.T - dpl[None, :]    # (S, T)
+            smax = np.maximum(smax, (sc + sph_radius[:, None]).max(axis=0))
+            smin = np.minimum(smin, (sc - sph_radius[:, None]).min(axis=0))
+        eps_h = 1e-4 * float(radius)
+        hull = ok_n & ((smax <= eps_h) | (smin >= -eps_h))
+        # degenerate tris never hit anything either
+        occ = ~hull & ok_n
+        fp_woop_occ = fp_woop[occ] if occ.any() \
+            else np.zeros((1, 12), np.float32)
+        # same subset in the brute-caster layout (columns grouped by
+        # output row, [x | y | z])
+        t_occ = np.nonzero(occ)[0] if occ.any() else np.zeros(1, np.int64)
+        col = np.concatenate([t_occ, t_occ + num_tris,
+                              t_occ + 2 * num_tris])
+        woop_A_occ = woop_A[:, col] if occ.any() \
+            else np.zeros((3, 3), np.float32)
+        woop_b_occ = woop_b[col] if occ.any() \
+            else np.zeros(3, np.float32)
+    else:
+        woop_A_occ, woop_b_occ = woop_A, woop_b
+
     # ------------------------------------------------------------------ camera
     cam = b.camera
     aspect = cam.width / cam.height
@@ -661,6 +703,7 @@ def compile_scene(b):
         indices=_i32(indices), tri_shape=_i32(tri_shape),
         tri_p0=_f32(p0), tri_e1=_f32(e1), tri_e2=_f32(e2),
         tri_woop_A=_f32(woop_A), tri_woop_b=_f32(woop_b),
+        tri_woop_A_occ=_f32(woop_A_occ), tri_woop_b_occ=_f32(woop_b_occ),
         sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
         sph_shape=_i32(sph_shape),
         bvh_lo=_f32(bvh['lo']), bvh_hi=_f32(bvh['hi']),
@@ -673,7 +716,8 @@ def compile_scene(b):
         sw_A=_f32(sw['sw_A']), sw_prim=_f32(sw['sw_prim']),
         sw_lane=_f32(sw['sw_lane']),
         sw_aabb=_f32(sw['sw_aabb']), sw_saabb=_f32(sw['sw_saabb']),
-        fp_woop=_f32(fp_woop), fp_tri=_f32(fp_tri), fp_light=_f32(fp_light),
+        fp_woop=_f32(fp_woop), fp_woop_occ=_f32(fp_woop_occ),
+        fp_tri=_f32(fp_tri), fp_light=_f32(fp_light),
         fp_sph=_f32(fp_sph),
         shape_material_id=_i32(shape_material), shape_light_id=_i32(shape_light),
         shape_interior_med=_i32(shape_int_med),

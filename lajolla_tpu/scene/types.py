@@ -150,6 +150,8 @@ class Scene:
     tri_e2: Any          # (T,3) f32 v2 - v0
     tri_woop_A: Any      # (3, 3T) f32 Woop unit-triangle transforms (MXU path)
     tri_woop_b: Any      # (3T,) f32
+    tri_woop_A_occ: Any  # (3, 3T_occ) f32 occluder subset (see fp_woop_occ)
+    tri_woop_b_occ: Any  # (3T_occ,) f32
     sph_center: Any      # (S,3) f32
     sph_radius: Any      # (S,) f32
     sph_shape: Any       # (S,) i32
@@ -178,6 +180,11 @@ class Scene:
 
     # --- diffuse fast-path tables (integrators/path_kernel.py) --------------
     fp_woop: Any         # (T, 12) f32 [Ax(4) Ay(4) Az(4)]
+    fp_woop_occ: Any     # (T_occ, 12) f32 occluder subset: tris NOT on the
+                         # scene's convex envelope (an envelope tri can
+                         # never block a shadow segment between two
+                         # on/inside-hull points; area/sphere-light NEE
+                         # only — envmap scenes keep the full set)
     fp_tri: Any          # (40, T) f32 packed per-triangle shading+material record
     fp_light: Any        # (16, L) f32 packed light table (incl. sphere rows)
     fp_sph: Any          # (S, 24) f32 packed per-sphere record
