@@ -239,6 +239,7 @@ def _primary_hash(scene, options, item, seed_u32, nq=None):
     return pixel.astype(jnp.int32), org, d
 
 
+@partial(jax.jit, static_argnames=('options', 'nspp', 'lanes', 'n'))
 def _render_block_kernel(scene, options, seed, s0, nspp, lanes, n, end):
     """Fast-path wavefront loop: state held in TRANSPOSED (3, N) layout so
     the fused Pallas advance kernel (integrators/path_kernel.py) runs with
@@ -276,7 +277,8 @@ def _render_block_kernel(scene, options, seed, s0, nspp, lanes, n, end):
         nv = nv + 1
 
         pixel = (item % n).astype(jnp.int32)
-        contrib = jnp.where(died[:, None], radT2.T, 0.0)
+        fin = jnp.all(jnp.isfinite(radT2), axis=0)
+        contrib = jnp.where((died & fin)[:, None], radT2.T, 0.0)
         film = _dense_film_add(film, pixel, contrib, n, lanes)
 
         next_item = item + lanes
@@ -326,18 +328,6 @@ def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
     h = scene.meta.height
     n = w * h
     lanes = lanes or n
-    M = n * nspp
-    if _use_kernel(scene):
-        from lajolla_tpu.integrators import path_megakernel
-        # fused only above one block: small (test-sized) films stay on the
-        # per-bounce kernel so they don't pay the fused kernel's Mosaic
-        # compile time per scene.
-        if lanes == n and n % path_megakernel.BLOCK == 0 and \
-                n > path_megakernel.BLOCK:
-            return path_megakernel.render_fused(scene, options, seed, s0,
-                                                nspp)
-        return _render_block_kernel(scene, options, seed, s0, nspp, lanes,
-                                    n, s0 * n + M)
     su = jnp.uint32(seed)
     kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
             jnp.uint32(_GOLD))[None, :]                    # (1, 8)
@@ -384,9 +374,12 @@ def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
         (item, nv, org, d, spread, radius, T, L, eta_scale,
          dir_pdf, prev_pos, done) = nst
 
-        # splat finished paths
+        # splat finished paths; whole-sample NaN/Inf exclusion like the
+        # reference's film accumulation (render.cpp:140-143)
         pixel = (item % n_q).astype(jnp.int32)
-        film = _dense_film_add(film, pixel, jnp.where(died[:, None], L, 0.0),
+        fin = jnp.all(jnp.isfinite(L), axis=-1)
+        film = _dense_film_add(film, pixel,
+                               jnp.where((died & fin)[:, None], L, 0.0),
                                n_q, lanes)
 
         # regenerate from the queue
@@ -419,10 +412,27 @@ def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
 
 
 def _render_block(scene, options, seed, s0, nspp, lanes=None):
-    """Back-compat wrapper: full render to an (h, w, 3) film sum."""
+    """Full render to an (h, w, 3) film sum. Dispatches fast-path scenes
+    (TPU + path_kernel.supports) to the fused/per-bounce kernels — which
+    return the (h, w, 3) film directly — and everything else through the
+    general wavefront queue `_render_block_sc`, which returns
+    (film, state)."""
     w, h = scene.meta.width, scene.meta.height
+    n = w * h
+    if _use_kernel(scene):
+        from lajolla_tpu.integrators import path_megakernel
+        lanes_k = lanes or n
+        # fused only above one block: small (test-sized) films stay on the
+        # per-bounce kernel so they don't pay the fused kernel's Mosaic
+        # compile time per scene.
+        if lanes_k == n and n % path_megakernel.BLOCK == 0 and \
+                n > path_megakernel.BLOCK:
+            return path_megakernel.render_fused(scene, options, seed, s0,
+                                                nspp)
+        return _render_block_kernel(scene, options, seed, s0, nspp, lanes_k,
+                                    n, (s0 + nspp) * n)
     film, _ = _render_block_sc(scene, options, seed, s0, nspp, lanes)
-    return film[:w * h].reshape(h, w, 3)
+    return film[:n].reshape(h, w, 3)
 
 
 DRAIN_DIV = 4
@@ -452,7 +462,8 @@ def _drain_block(scene, options, seed, st):
         uN = _hash_u01(_pcg_hash(hb[:, None] + kidx))
         nst, died = jax.vmap(
             lambda u, *s: _advance_lane(scene, options, s, u))(uN, *st)
-        Lf = jnp.where(died[:, None], nst[7], Lf)
+        fin = jnp.all(jnp.isfinite(nst[7]), axis=-1)
+        Lf = jnp.where((died & fin)[:, None], nst[7], Lf)
         nst = nst[:11] + (nst[11] | died,)
         return (nst, Lf)
 

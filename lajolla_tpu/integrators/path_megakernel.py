@@ -153,7 +153,10 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, woop_occ_ref, tri_ref,
         died = act & ~alive
         # NaN/Inf exclusion on the splat (render.cpp:140-143): one
         # non-finite path must not poison its pixel for the whole launch.
-        film = film + jnp.where(died & jnp.isfinite(rad2), rad2, 0.0)
+        # Whole-sample like the reference: any non-finite channel drops
+        # all three (keeps engine parity with path.py's splat).
+        fin = jnp.all(jnp.isfinite(rad2), axis=0, keepdims=True)
+        film = film + jnp.where(died & fin, rad2, 0.0)
         next_item = item + n
         has_more = next_item < end
         regen = died & has_more

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 INF = jnp.float32(jnp.inf)
 
-CLUSTER_TRIS = 256       # C (compile_scene passes 64 for the sweep path)
+CLUSTER_TRIS = 256       # C (compile_scene passes 128 for the sweep path;
+                         # the resident lane-major kernel needs C % 128 == 0
+                         # — pack_sweep asserts this)
 MAX_ROUNDS = 256          # safety bound on ordered rounds
 
 

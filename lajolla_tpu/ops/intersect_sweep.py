@@ -78,6 +78,10 @@ def pack_sweep(cl, group=GROUP):
     cl_A, cl_b, cl_prim = cl['cl_A'], cl['cl_b'], cl['cl_prim']
     K0, _, threeC = cl_A.shape
     C = threeC // 3
+    # the resident/list lane-major kernels need triangle lanes tiled to
+    # the 128-wide VREG; a non-multiple C would silently fall back to
+    # the (much slower) streaming kernel for every binned scene
+    assert C % 128 == 0, f"sweep cluster size {C} must be 128-aligned"
     K = -(-K0 // group) * group
     A = np.zeros((K, 3, 3, C), np.float32)
     A[:K0] = cl_A.reshape(K0, 3, 3, C)
@@ -260,8 +264,12 @@ def _kernel_resolve(dcounts_ref, dlist_ref, ray_ref, kid_ref, A_ref,
                     p_o, u_o, v_o, *, C: int, D: int):
     """u/v/prim extraction for rays grouped by winning cluster: each
     128-ray block re-tests the (few) distinct clusters its rays won,
-    selecting the first triangle matching each ray's t_best exactly
-    (same f32 arithmetic as _kernel_res -> bitwise-equal t)."""
+    selecting the triangle whose t is CLOSEST to the ray's t_best
+    (within a small relative tolerance). Not exact equality: _kernel_res
+    is a separately Mosaic-compiled program, and a different FMA /
+    reassociation choice there would silently drop the hit (prim=-1
+    with finite t_best -> speckle); the tolerance absorbs ulp-level
+    divergence while still uniquely identifying the winner."""
     i = pl.program_id(0)
     ox = ray_ref[:, 0:1]
     oy = ray_ref[:, 1:2]
@@ -298,14 +306,19 @@ def _kernel_resolve(dcounts_ref, dlist_ref, ray_ref, kid_ref, A_ref,
         u = contract(0, True) + t * contract(0, False)
         v = contract(4, True) + t * contract(4, False)
         hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
-               (u + v <= 1.0) & (t > tnear) & (t == tbest))
+               (u + v <= 1.0) & (t > tnear))
+        err = jnp.where(hit, jnp.abs(t - tbest), INF)
+        emin = jnp.min(err, axis=1, keepdims=True)
+        tol = jnp.float32(1e-4) * jnp.maximum(jnp.abs(tbest),
+                                              jnp.float32(1e-6))
+        sel = hit & (err == emin)
         iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        first = jnp.min(jnp.where(hit, iota, C), axis=1, keepdims=True)
-        self_f = (hit & (iota == first)).astype(jnp.float32)
+        first = jnp.min(jnp.where(sel, iota, C), axis=1, keepdims=True)
+        self_f = (sel & (iota == first)).astype(jnp.float32)
         pn = jnp.sum(self_f * comp(12), axis=1, keepdims=True)
         un = jnp.sum(self_f * u, axis=1, keepdims=True)
         vn = jnp.sum(self_f * v, axis=1, keepdims=True)
-        take = mine & (first < C)
+        take = mine & (emin <= tol)
         p_o[:] = jnp.where(take, pn, p_o[:])
         u_o[:] = jnp.where(take, un, u_o[:])
         v_o[:] = jnp.where(take, vn, v_o[:])

@@ -607,10 +607,15 @@ def compile_scene(b):
     # both lie on/inside the hull, which is every area/sphere-light NEE
     # ray (path_tracing.h:119-131: surface point → light point). Envmap
     # shadow rays extend to infinity, so envmap scenes keep the full set
-    # (the fast-path kernels exclude envmaps anyway). cbox: the 5 room
-    # walls (10 of 32 tris) drop out of every occlusion sweep.
+    # (the fast-path kernels exclude envmaps anyway). Media scenes also
+    # keep the full set: volumetric NEE rays originate at scatter points
+    # that can lie OUTSIDE the geometry hull (e.g. camera-in-medium
+    # vol_cbox), where envelope walls genuinely occlude
+    # (vol_path_tracing.h:335-439). cbox: the 5 room walls (10 of 32
+    # tris) drop out of every occlusion sweep.
     fp_woop_occ = fp_woop
-    if 0 < num_tris <= 4096 and not (b.envmap_light_id >= 0):
+    if 0 < num_tris <= 4096 and not (b.envmap_light_id >= 0) \
+            and not b.media:
         nrm = np.cross(e1, e2)
         ln = np.linalg.norm(nrm, axis=1)
         ok_n = ln > 1e-18

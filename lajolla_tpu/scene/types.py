@@ -184,7 +184,9 @@ class Scene:
                          # scene's convex envelope (an envelope tri can
                          # never block a shadow segment between two
                          # on/inside-hull points; area/sphere-light NEE
-                         # only — envmap scenes keep the full set)
+                         # only — envmap and media scenes keep the full
+                         # set, since their shadow rays can start outside
+                         # the hull)
     fp_tri: Any          # (40, T) f32 packed per-triangle shading+material record
     fp_light: Any        # (16, L) f32 packed light table (incl. sphere rows)
     fp_sph: Any          # (S, 24) f32 packed per-sphere record

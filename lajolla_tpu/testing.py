@@ -88,6 +88,57 @@ def make_volume_scene(sigma_a=(0.05,) * 3, sigma_s=(0.3,) * 3, g=0.0,
     return compile_scene(b)
 
 
+def make_white_box_scene(albedo=0.9, emission=0.3, res=8):
+    """Camera inside a closed emissive diffuse cube: every wall both
+    emits Le and reflects with albedo rho, so the uniform equilibrium
+    radiance is analytic, L = Le / (1 - rho) — a worst-case DEEP-path
+    fixture (RR-survival ~ rho per bounce, mean path length 1/(1-rho))
+    that gates the MAX_BOUNCES_CAP truncation bias (see docs/PARITY.md
+    'Path length is capped')."""
+    from lajolla_tpu.core import transform as xf
+    b = SceneBuilder(camera=CameraB(to_world=xf.look_at(
+        [0, 0, 0], [0, 0, 1], [0, 1, 0]), fov=45.0, width=res, height=res),
+        options=RenderOptions(max_depth=-1), texture_pool=TexturePool())
+    m = MaterialB(type=T.MAT_LAMBERTIAN)
+    b.texdescs.append(TexDesc(kind=T.TEX_CONSTANT, const=(albedo,) * 3))
+    m.tex[T.P_BASE_COLOR] = 0
+    b.materials.append(m)
+    # 12 triangles wound so geometric normals face INWARD (one-sided
+    # area emission toward the camera, diffuse_area_light.inl:15-20).
+    # Each face owns its 4 vertices + explicit flat normals: shared
+    # corners would get angle-weighted SMOOTH normals (diagonals), which
+    # breaks the analytic equilibrium.
+    pos, nrm, idx = [], [], []
+    for axis in range(3):
+        for sign in (-1.0, 1.0):
+            u_ax, v_ax = (axis + 1) % 3, (axis + 2) % 3
+            quad = []
+            for (su, sv) in ((-1, -1), (1, -1), (1, 1), (-1, 1)):
+                p = np.zeros(3)
+                p[axis] = sign
+                p[u_ax] = su
+                p[v_ax] = sv
+                quad.append(p)
+            n_in = np.zeros(3)
+            n_in[axis] = -sign                 # inward
+            fn = np.cross(quad[1] - quad[0], quad[2] - quad[0])
+            if np.dot(fn, n_in) < 0:
+                quad = quad[::-1]
+            base = len(pos)
+            pos.extend(quad)
+            nrm.extend([n_in] * 4)
+            idx.append([base, base + 1, base + 2])
+            idx.append([base, base + 2, base + 3])
+    mesh = MeshB(positions=np.array(pos, np.float64),
+                 indices=np.array(idx, np.int32),
+                 normals=np.array(nrm, np.float64))
+    b.shapes.append(ShapeB(type=T.SHAPE_MESH, mesh=mesh, material_id=0,
+                           area_light_id=0))
+    b.lights.append(LightB(type=T.LIGHT_AREA, shape_id=0,
+                           intensity=(emission,) * 3))
+    return compile_scene(b)
+
+
 def make_single_material_scene(mat_xml_type, params=None, eta=1.5):
     """One quad with the given material, a white area light quad above,
     camera looking down."""

@@ -97,3 +97,20 @@ def test_dense_film_add_matches_scatter():
     check(n=256, lanes=64)    # n % lanes == 0 (K dense masked adds)
     check(n=64, lanes=256)    # lanes % n == 0 (reshaped dense add)
     check(n=96, lanes=64)     # neither — scatter fallback
+
+
+def test_bounce_cap_bias_negligible():
+    """Gates the MAX_BOUNCES_CAP=64 deviation from the reference's
+    unbounded max_depth=-1 loop (path_tracing.h:64-66; docs/PARITY.md
+    'Path length is capped'). Worst-case deep-path fixture: closed
+    emissive diffuse box with albedo 0.9 -> analytic equilibrium
+    L = Le/(1-rho) = 3.0 and mean path length ~10 bounces. Truncating
+    at 64 discards ~0.9^64 ~ 0.1% of the tail; a cap low enough to
+    matter (e.g. 16 -> 18% missing energy) fails the 3% gate."""
+    from lajolla_tpu.testing import make_white_box_scene
+    scene = make_white_box_scene(albedo=0.9, emission=0.3, res=8)
+    opts = RenderOptions(integrator='path', samples_per_pixel=256,
+                         max_depth=-1)
+    img = np.asarray(render_path(scene, opts))
+    assert np.isfinite(img).all()
+    assert img.mean() == pytest.approx(3.0, rel=0.03)
