@@ -1,18 +1,22 @@
 """Benchmark driver: renders the headline workload (cbox 512x512, path
-integrator) and reports throughput in Mpaths/sec/chip.
+integrator) plus the five other BASELINE.json scenes and reports
+throughput in Mpaths/sec/chip for each.
 
-Baseline (measured, see BASELINE.md "Measured CPU baseline"): the
-reference publishes no numbers and its prebuilt Embree binaries are
-stripped from the mirror, so round 1 used a 2.0 Mpaths/s guess. Round 2
-built the actual reference sources against a BVH shim
-(tools/ref_baseline/) and measured the exact headline workload:
-cbox 512x512 @ 4 spp in 7.06 s single-core = 0.1485 Mpaths/s/core.
-The 32-core baseline is that x32 (the reference's tile-parallel design
-scales ~linearly: disjoint film tiles, zero shared mutable state,
-render.cpp:75-98) = 4.75 Mpaths/s. baseline_estimated stays true
-because of the single-core->32-core extrapolation (this box has 1 core).
+Headline baseline (measured, see BASELINE.md "Measured CPU baseline"):
+the reference publishes no numbers and its prebuilt Embree binaries are
+stripped from the mirror, so round 2 built the actual reference sources
+against a BVH shim (tools/ref_baseline/) and measured the exact headline
+workload: cbox 512x512 @ 4 spp in 7.06 s single-core = 0.1485
+Mpaths/s/core; x32 linear (disjoint film tiles, render.cpp:75-98) =
+4.75 Mpaths/s. baseline_estimated stays true because of the
+single-core->32-core extrapolation (this box has 1 core).
 
-Prints exactly one JSON line.
+Per-scene bars are the round-3 single-core measurements x32
+(BASELINE.md "Measured CPU baselines, all five benchmark configs").
+
+Prints exactly one JSON line. Per-scene failures are recorded as null
+values rather than aborting the headline capture (round 3 lost its
+whole perf record to a mid-run backend outage).
 """
 
 import dataclasses
@@ -21,46 +25,91 @@ import sys
 import time
 
 CPU_BASELINE_MPATHS = 4.75
-SCENE = "/root/reference/scenes/cbox/cbox.xml"
-# Timed at the headline workload's own launch size (render_path uses
-# 256-spp single launches for fused-kernel scenes); each timed run
-# includes the film readback through the axon tunnel.
-TIMED_SPP = 256
+REF = "/root/reference/scenes"
+HEADLINE_SPP = 256
+
+# name -> (scene path, timed spp, 32-core reference bar in Mpaths/s)
+EXTRA_SCENES = [
+    ("veach_mi", f"{REF}/veach_mi/mi.xml", 128, 19.54),
+    ("matpreview", f"{REF}/matpreview/matpreview.xml", 2, 1.11),
+    ("sponza", f"{REF}/sponza/sponza.xml", 1, 0.55),
+    ("vol_cbox", f"{REF}/volpath_test/vol_cbox.xml", 8, 1.89),
+    ("hetvol", f"{REF}/volpath_test/hetvol.xml", 1, 1.95),
+]
+
+
+def _time_render(render_fn, n_paths, repeats=2):
+    """Wall-clock the second+ calls of render_fn (first call compiled by
+    the caller); returns Mpaths/s from the fastest repeat."""
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        render_fn()
+        ts.append(time.time() - t0)
+    return n_paths / min(ts) / 1e6
+
+
+def bench_headline():
+    from lajolla_tpu.scene.parser import parse_scene
+    from lajolla_tpu.integrators.path import _render_block
+    import numpy as np
+
+    scene, options = parse_scene(f"{REF}/cbox/cbox.xml")
+    options = dataclasses.replace(options, samples_per_pixel=256)
+    w, h = scene.meta.width, scene.meta.height
+    # warmup / compile (same static shape as the timed run). NB: the
+    # timed runs force a device->host transfer — block_until_ready can
+    # return early through the axon relay.
+    np.asarray(_render_block(scene, options, 0, 0, HEADLINE_SPP))
+    box = [0]
+
+    def run():
+        box[0] += 1
+        np.asarray(_render_block(scene, options, 0, box[0] * HEADLINE_SPP,
+                                 HEADLINE_SPP))
+
+    return _time_render(run, w * h * HEADLINE_SPP, repeats=3)
+
+
+def bench_scene(path, spp):
+    from lajolla_tpu.scene.parser import parse_scene
+    from lajolla_tpu.render import render
+    import numpy as np
+
+    scene, options = parse_scene(path)
+    options = dataclasses.replace(options, samples_per_pixel=spp)
+    w, h = scene.meta.width, scene.meta.height
+    np.asarray(render(scene, options, seed=0))        # warmup / compile
+
+    def run():
+        np.asarray(render(scene, options, seed=1))
+
+    return _time_render(run, w * h * spp)
 
 
 def main():
-    import jax
-    from lajolla_tpu.scene.parser import parse_scene
-    from lajolla_tpu.integrators.path import _render_block
-
-    scene, options = parse_scene(SCENE)
-    options = dataclasses.replace(options, samples_per_pixel=256)
-    w, h = scene.meta.width, scene.meta.height
-
-    import numpy as np
-    # warmup / compile (same static shape as the timed run). NB: the timed
-    # runs force a device->host transfer — block_until_ready can return
-    # early through the axon relay.
-    np.asarray(_render_block(scene, options, 0, 0, TIMED_SPP))
-
-    ts = []
-    for i in range(3):
-        t0 = time.time()
-        np.asarray(_render_block(scene, options, 0, (i + 1) * TIMED_SPP,
-                                 TIMED_SPP))
-        ts.append(time.time() - t0)
-    dt = min(ts)
-
-    paths = w * h * TIMED_SPP
-    mpaths = paths / dt / 1e6
-    print(json.dumps({
+    out = {}
+    mpaths = bench_headline()
+    out.update({
         "metric": "cbox_512x512_path_Mpaths_per_sec_per_chip",
         "value": round(mpaths, 4),
         "unit": "Mpaths/s",
         "vs_baseline": round(mpaths / CPU_BASELINE_MPATHS, 4),
         "baseline_estimated": True,
         "baseline_mpaths": CPU_BASELINE_MPATHS,
-    }))
+    })
+    scenes = {"cbox": {"mpaths": round(mpaths, 4), "bar": 5.44,
+                       "vs_bar": round(mpaths / 5.44, 3)}}
+    for name, path, spp, bar in EXTRA_SCENES:
+        try:
+            m = bench_scene(path, spp)
+            scenes[name] = {"mpaths": round(m, 4), "bar": bar,
+                            "vs_bar": round(m / bar, 3)}
+        except Exception as e:                        # noqa: BLE001
+            scenes[name] = {"mpaths": None, "bar": bar,
+                            "error": f"{type(e).__name__}: {e}"[:200]}
+    out["scenes"] = scenes
+    print(json.dumps(out))
     return 0
 
 

@@ -312,7 +312,9 @@ def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
                      early_exit=False):
     """Render nspp samples/pixel (sample indices s0..s0+nspp) of the full
     film via the persistent-wavefront queue. Returns (film_sum (n_q, 3),
-    final state). `lanes` < n*nspp shrinks the worker pool (shorter
+    final state, loop iterations — a deterministic occupancy proxy,
+    see tests/test_perf_proxies.py). `lanes` < n*nspp shrinks the worker
+    pool (shorter
     device launches for heavy scenes) — the queue semantics are
     unchanged.
 
@@ -354,7 +356,7 @@ def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
     end = (s0 + nspp) * n_q
 
     def cond(carry):
-        st, film = carry
+        st, film, _it = carry
         if early_exit:
             # keep going while any lane still has queued work (a lane
             # that dies with next_item < end regenerates, which the
@@ -365,7 +367,7 @@ def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
         return ~jnp.all(st[11])
 
     def body(carry):
-        st, film = carry
+        st, film, it = carry
         hb = _pcg_hash(st[0].astype(jnp.uint32) ^
                        _pcg_hash(st[1].astype(jnp.uint32) ^ su))
         uN = _hash_u01(_pcg_hash(hb[:, None] + kidx))     # (N, 8)
@@ -405,10 +407,11 @@ def _render_block_sc(scene, options, seed, s0, nspp, lanes=None,
             selv(rorg, prev_pos),
             done,
         )
-        return (state_new, film)
+        return (state_new, film, it + 1)
 
-    (st, film) = jax.lax.while_loop(cond, body, (state, film0))
-    return film, st
+    (st, film, iters) = jax.lax.while_loop(
+        cond, body, (state, film0, jnp.int32(0)))
+    return film, st, iters
 
 
 def _render_block(scene, options, seed, s0, nspp, lanes=None):
@@ -431,7 +434,7 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
                                                 nspp)
         return _render_block_kernel(scene, options, seed, s0, nspp, lanes_k,
                                     n, (s0 + nspp) * n)
-    film, _ = _render_block_sc(scene, options, seed, s0, nspp, lanes)
+    film, _, _ = _render_block_sc(scene, options, seed, s0, nspp, lanes)
     return film[:n].reshape(h, w, 3)
 
 
@@ -443,20 +446,21 @@ def _drain_block(scene, options, seed, st):
     """Finish the compacted survivors of an early-exited
     _render_block_sc. Drained lanes never regenerate, so each lane's
     radiance lands on one fixed pixel: no per-step film splat — latch L
-    at death and return (item, L_final) for ONE host-side scatter.
-    Estimator-identical to the in-loop path: the RNG stream is keyed on
-    (seed, item, nv) only, independent of lane position or pool width."""
+    at death and return (item, L_final, iterations) for ONE host-side
+    scatter. Estimator-identical to the in-loop path: the RNG stream is
+    keyed on (seed, item, nv) only, independent of lane position or pool
+    width."""
     su = jnp.uint32(seed)
     kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
             jnp.uint32(_GOLD))[None, :]
     L_final = jnp.zeros_like(st[7])
 
     def cond(carry):
-        st, _ = carry
+        st, _, _it = carry
         return ~jnp.all(st[11])
 
     def body(carry):
-        st, Lf = carry
+        st, Lf, it = carry
         hb = _pcg_hash(st[0].astype(jnp.uint32) ^
                        _pcg_hash(st[1].astype(jnp.uint32) ^ su))
         uN = _hash_u01(_pcg_hash(hb[:, None] + kidx))
@@ -465,10 +469,16 @@ def _drain_block(scene, options, seed, st):
         fin = jnp.all(jnp.isfinite(nst[7]), axis=-1)
         Lf = jnp.where((died & fin)[:, None], nst[7], Lf)
         nst = nst[:11] + (nst[11] | died,)
-        return (nst, Lf)
+        return (nst, Lf, it + 1)
 
-    st, L_final = jax.lax.while_loop(cond, body, (st, L_final))
-    return st[0], L_final
+    st, L_final, iters = jax.lax.while_loop(
+        cond, body, (st, L_final, jnp.int32(0)))
+    return st[0], L_final, iters
+
+
+QUEUE_STATS = {}   # last _render_block_drained occupancy telemetry
+                   # (deterministic given (scene, seed): counter-hash
+                   # RNG; pinned by tests/test_perf_proxies.py)
 
 
 def _render_block_drained(scene, options, seed, s0, nspp, lanes):
@@ -478,11 +488,12 @@ def _render_block_drained(scene, options, seed, s0, nspp, lanes):
     import numpy as np
     n = scene.meta.width * scene.meta.height
     n_q = -(-n // lanes) * lanes
-    film, st = _render_block_sc(scene, options, seed, s0, nspp, lanes,
-                                early_exit=True)
+    film, st, iters_main = _render_block_sc(scene, options, seed, s0,
+                                            nspp, lanes, early_exit=True)
     film = np.array(film)   # writable copy (np.asarray of a jax array
                             # is a read-only view)
     done = np.asarray(st[11])
+    iters_drain, width = 0, 0
     if not done.all():
         width = max(lanes // DRAIN_DIV, 1)
         alive = np.nonzero(~done)[0]
@@ -491,10 +502,16 @@ def _render_block_drained(scene, options, seed, s0, nspp, lanes):
         stc = [np.asarray(x)[idx] for x in st]
         stc[11] = np.ones(width, bool)
         stc[11][:len(alive)] = False
-        items, L = _drain_block(scene, options, seed,
-                                tuple(jnp.asarray(x) for x in stc))
+        items, L, iters_drain = _drain_block(
+            scene, options, seed, tuple(jnp.asarray(x) for x in stc))
         pix = np.asarray(items).astype(np.int64) % n_q
         np.add.at(film, pix, np.asarray(L))
+    paths = n_q * nspp
+    QUEUE_STATS.update(
+        iters_main=int(iters_main), iters_drain=int(iters_drain),
+        lanes=lanes, drain_width=int(width), paths=paths,
+        lane_steps_per_path=(int(iters_main) * lanes +
+                             int(iters_drain) * int(width)) / paths)
     return film
 
 

@@ -180,8 +180,11 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
     `row`: prefetched wide medium row (media.med_row) — passed by the
     hot callers so the loop body does no medium-table gathers.
     Returns (transmittance, trans_dir_pdf, trans_nee_pdf, scatter,
-    accum_t). with_scatter=False gives the ratio-tracking NEE variant (no
-    real/null decision; transmittance picks up sigma_n).
+    accum_t, rounds). with_scatter=False gives the ratio-tracking NEE
+    variant (no real/null decision; transmittance picks up sigma_n).
+    `rounds` is the number of tracking iterations taken — a
+    deterministic perf proxy pinned by tests/test_perf_proxies.py
+    (lockstep cost of the vmapped loop = batch max of rounds).
 
     The loop walks piecewise-constant majorant segments
     (_majorant_segment): one iteration either processes a tentative
@@ -276,10 +279,10 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
         # — ONE unrolled body call, no lockstep while_loop at all
         init = jax.lax.cond(maj0_ch > 0, body, lambda st: st, init)
         (accum_t, _it, trans, tdp, tnp, scatter, _done) = init
-        return trans, tdp, tnp, scatter, accum_t
+        return trans, tdp, tnp, scatter, accum_t, _it
     (accum_t, _it, trans, tdp, tnp, scatter, _done) = \
         jax.lax.while_loop(cond, body, init)
-    return trans, tdp, tnp, scatter, accum_t
+    return trans, tdp, tnp, scatter, accum_t, _it
 
 
 # ---------------------------------------------------------------------------
@@ -743,7 +746,7 @@ def _vol_nee(scene, options, hb, p, med_id, bounces, dir_view, is_surface,
             hseg = _pcg_hash(hs ^ _pcg_hash(
                 sb.astype(jnp.uint32) + jnp.uint32(_S_NEE_SEG)))
             row_seg = med_row(scene, med)
-            trans, tdp, tnp, _sc, _at = _free_flight(
+            trans, tdp, tnp, _sc, _at, _rounds = _free_flight(
                 scene, options, hseg, p, dir_light, med, next_t,
                 with_scatter=False, row=row_seg)
             Tl = jnp.where(has_med, Tl * trans, Tl)
@@ -817,7 +820,7 @@ def _advance_vol_lane(scene, options, st, su):
     mrow = med_row(scene, medium)   # ONE wide fetch per bounce
     in_medium = medium >= 0
     if scene.meta.num_media > 0:
-        trans, tdp, tnp, scatter, accum_t = _free_flight(
+        trans, tdp, tnp, scatter, accum_t, _rounds = _free_flight(
             scene, options, _pcg_hash(hb + jnp.uint32(_S_FF)), org, d,
             medium, t_hit, with_scatter=True, row=mrow)
         trans = jnp.where(in_medium, trans, ones)
@@ -1085,7 +1088,7 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
     advance = _advance_event if use_machine else _advance_vol_lane
 
     def cond(carry):
-        st, film = carry
+        st, film, _it = carry
         if early_exit:
             # see path.py _render_block_sc: stop once the queue is fully
             # consumed and survivors fit the DRAIN_DIV-smaller pool
@@ -1094,17 +1097,18 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
         return ~jnp.all(st[-1])
 
     def body(carry):
-        st, film = carry
+        st, film, it = carry
         nst, died = jax.vmap(
             lambda *s: advance(scene, options, s, su))(*st)
         item = nst[0]
         L = nst[5]
         done = nst[-1]
 
-        # NaN exclusion at the splat, as in the reference film loop
-        # (render.cpp:140-143)
+        # whole-sample NaN exclusion at the splat, as in the reference
+        # film loop (render.cpp:140-143)
         pixel = (item % n).astype(jnp.int32)
-        contrib = jnp.where(died[:, None] & jnp.isfinite(L), L, 0.0)
+        fin = jnp.all(jnp.isfinite(L), axis=-1)
+        contrib = jnp.where((died & fin)[:, None], L, 0.0)
         film = _dense_film_add(film, pixel, contrib, n, lanes)
 
         next_item = item + lanes
@@ -1122,10 +1126,11 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
                 state_new.append(jnp.where(regen[:, None], f_i, cur))
             else:
                 state_new.append(jnp.where(regen, f_i, cur))
-        return (tuple(state_new), film)
+        return (tuple(state_new), film, it + 1)
 
-    (st, film) = jax.lax.while_loop(cond, body, (state, film0))
-    return film, st
+    (st, film, iters) = jax.lax.while_loop(
+        cond, body, (state, film0, jnp.int32(0)))
+    return film, st, iters
 
 
 VOL_DRAIN_DIV = 4
@@ -1143,20 +1148,27 @@ def _drain_volpath_block(scene, options, seed, st):
     L_final = jnp.zeros_like(st[5])
 
     def cond(carry):
-        st, _ = carry
+        st, _, _it = carry
         return ~jnp.all(st[-1])
 
     def body(carry):
-        st, Lf = carry
+        st, Lf, it = carry
         nst, died = jax.vmap(
             lambda *s: advance(scene, options, s, su))(*st)
         L = nst[5]
-        Lf = jnp.where(died[:, None] & jnp.isfinite(L), L, Lf)
+        fin = jnp.all(jnp.isfinite(L), axis=-1)
+        Lf = jnp.where((died & fin)[:, None], L, Lf)
         nst = nst[:-1] + (nst[-1] | died,)
-        return (nst, Lf)
+        return (nst, Lf, it + 1)
 
-    st, L_final = jax.lax.while_loop(cond, body, (st, L_final))
-    return st[0], L_final
+    st, L_final, iters = jax.lax.while_loop(
+        cond, body, (st, L_final, jnp.int32(0)))
+    return st[0], L_final, iters
+
+
+QUEUE_STATS = {}   # last _render_volpath_block_drained occupancy
+                   # telemetry (deterministic given (scene, seed);
+                   # pinned by tests/test_perf_proxies.py)
 
 
 def _render_volpath_block_drained(scene, options, seed, s0, nspp, lanes,
@@ -1166,10 +1178,11 @@ def _render_volpath_block_drained(scene, options, seed, s0, nspp, lanes,
     (n, 3) film-sum ndarray."""
     import numpy as np
     n = scene.meta.width * scene.meta.height
-    film, st = _render_volpath_block(scene, options, seed, s0, nspp,
-                                     lanes, i0, count, early_exit=True)
+    film, st, iters_main = _render_volpath_block(
+        scene, options, seed, s0, nspp, lanes, i0, count, early_exit=True)
     film = np.array(film)
     done = np.asarray(st[-1])
+    iters_drain, width = 0, 0
     if not done.all():
         width = max(lanes // VOL_DRAIN_DIV, 1)
         alive = np.nonzero(~done)[0]
@@ -1178,10 +1191,16 @@ def _render_volpath_block_drained(scene, options, seed, s0, nspp, lanes,
         stc = [np.asarray(x)[idx] for x in st]
         stc[-1] = np.ones(width, bool)
         stc[-1][:len(alive)] = False
-        items, L = _drain_volpath_block(
+        items, L, iters_drain = _drain_volpath_block(
             scene, options, seed, tuple(jnp.asarray(x) for x in stc))
         pix = np.asarray(items).astype(np.int64) % n
         np.add.at(film, pix, np.asarray(L))
+    work = count if count is not None else n * nspp
+    QUEUE_STATS.update(
+        iters_main=int(iters_main), iters_drain=int(iters_drain),
+        lanes=lanes, drain_width=int(width), paths=work,
+        lane_steps_per_path=(int(iters_main) * lanes +
+                             int(iters_drain) * int(width)) / work)
     return film
 
 

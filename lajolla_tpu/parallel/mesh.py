@@ -63,8 +63,8 @@ def _render_volpath_sharded_jit(scene, options, seed, mesh, spp_per_chip):
     def per_chip(scene):
         chip = jax.lax.axis_index('samples')
         s0 = chip.astype(jnp.int32) * spp_per_chip
-        film, _ = _render_volpath_block(scene, options, seed, s0,
-                                        spp_per_chip)
+        film, _, _ = _render_volpath_block(scene, options, seed, s0,
+                                           spp_per_chip)
         return jax.lax.psum(film, 'samples')
 
     fn = jax.shard_map(per_chip, mesh=mesh,

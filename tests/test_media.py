@@ -126,7 +126,7 @@ def test_ratio_tracking_transmittance_unbiased(hetvol_scene):
     roots = jnp.arange(8192, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
 
     def one(hs):
-        trans, _tdp, tnp, _sc, _at = _free_flight(
+        trans, _tdp, tnp, _sc, _at, _rounds = _free_flight(
             sc, options, hs, org, d, jnp.int32(0), t_hit,
             with_scatter=False)
         # the unbiased transmittance estimate is trans / trans_nee_pdf
