@@ -87,15 +87,87 @@ def render_volpath_sharded(scene, options, seed=0, mesh=None):
     return (film / total).reshape(h, w, 3)
 
 
+@partial(jax.jit, static_argnames=('options', 'mesh', 'spp_per_chip'))
+def _render_volpath_simple_sharded_jit(scene, options, seed, mesh,
+                                       spp_per_chip):
+    from lajolla_tpu.integrators.volpath import _render_volpath_simple_block
+
+    def per_chip(scene):
+        chip = jax.lax.axis_index('samples')
+        s0 = chip.astype(jnp.int32) * spp_per_chip
+        film = _render_volpath_simple_block(scene, options, seed, s0,
+                                            spp_per_chip)
+        return jax.lax.psum(film, 'samples')
+
+    fn = jax.shard_map(per_chip, mesh=mesh,
+                       in_specs=(P(),), out_specs=P(),
+                       check_vma=False)
+    return fn(scene)
+
+
+def render_volpath_simple_sharded(scene, options, seed=0, mesh=None):
+    """Distributed volpath v1/v2 (the single-bounce pedagogical
+    integrators, vol_path_tracing.h:6-147) — same sample-axis DP as the
+    final integrator."""
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    spp_per_chip = -(-options.samples_per_pixel // n)
+    total = spp_per_chip * n
+    film = _render_volpath_simple_sharded_jit(scene, options, seed, mesh,
+                                              spp_per_chip)
+    h, w = scene.meta.height, scene.meta.width
+    return (film / total).reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=('options', 'mesh', 'rows_per_chip'))
+def _render_aux_sharded_jit(scene, options, mesh, rows_per_chip):
+    from lajolla_tpu.integrators.aux import _pixel
+
+    w = scene.meta.width
+
+    def per_chip(scene):
+        chip = jax.lax.axis_index('samples')
+        y0 = chip.astype(jnp.int32) * rows_per_chip
+        xs = jnp.arange(w, dtype=jnp.int32)
+        ys = jnp.arange(rows_per_chip, dtype=jnp.int32) + y0
+        px, py = jnp.meshgrid(xs, ys)                     # (rows_pc, w)
+        f = lambda x, y: _pixel(scene, options, x, y, options.integrator)
+        return jax.vmap(jax.vmap(f))(px, py)
+
+    fn = jax.shard_map(per_chip, mesh=mesh,
+                       in_specs=(P(),), out_specs=P('samples'),
+                       check_vma=False)
+    return fn(scene)
+
+
+def render_aux_sharded(scene, options, mesh=None):
+    """Distributed aux integrators. Aux renders are deterministic
+    (one pixel-center ray each, render.cpp:12-69), so the sample axis
+    is empty — shard the pixel ROWS instead; chips past the last row
+    compute discarded padding rows."""
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    h = scene.meta.height
+    rows_per_chip = -(-h // n)
+    img = _render_aux_sharded_jit(scene, options, mesh, rows_per_chip)
+    return img[:h]
+
+
+_AUX = ('depth', 'shadingNormal', 'meanCurvature', 'rayDifferential',
+        'mipmapLevel')
+
+
 def render_sharded(scene, options, seed=0, mesh=None):
-    """Integrator-dispatching distributed render (main.cpp surface over
-    a mesh)."""
-    if options.integrator == 'volpath' and options.vol_path_version \
-            not in (1, 2):
+    """Integrator-dispatching distributed render: the full main.cpp
+    integrator surface over a mesh (the reference parallelizes every
+    integrator through the same tile pool, render.cpp:71-149)."""
+    if options.integrator in _AUX:
+        return render_aux_sharded(scene, options, mesh)
+    if options.integrator == 'volpath':
+        if options.vol_path_version in (1, 2):
+            return render_volpath_simple_sharded(scene, options, seed,
+                                                 mesh)
         return render_volpath_sharded(scene, options, seed, mesh)
     if options.integrator != 'path':
-        raise NotImplementedError(
-            f"render_sharded: integrator {options.integrator!r} "
-            f"(vol_path_version={options.vol_path_version}) has no "
-            "distributed driver; use render() single-chip")
+        raise ValueError(f"unknown integrator: {options.integrator}")
     return render_path_sharded(scene, options, seed, mesh)
