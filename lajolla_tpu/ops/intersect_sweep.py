@@ -62,6 +62,8 @@ LIST_B = 128             # rays per block for the resident kernel:
 LIST_LEN = 192           # per-block worklist capacity (overflow ->
                          # full-K sweep for that block; keeps the SMEM
                          # prefetch footprint at R*LIST_LEN words)
+INTERPRET = False        # run the Pallas kernels in interpreter mode
+                         # (CPU oracle tests; production stays compiled)
 
 
 # ---------------------------------------------------------------------------
@@ -160,9 +162,16 @@ def _build_lists_ftb(scene, o, d, inv, tnear, tfar, R, B, L):
     with that distance alongside — the kernel breaks out of its sweep
     once every ray's current best hit is closer than the next entry
     distance (the wavefront analogue of ordered BVH traversal,
-    /root/reference/src/intersection.cpp:32 via Embree). A block whose
-    list overflows L gets counts = -K: the kernel falls back to
-    sweeping all K clusters in id order (correct, rare)."""
+    /root/reference/src/intersection.cpp:32 via Embree).
+
+    A block whose cluster list overflows L degrades to SUPERCLUSTER
+    granularity instead of giving up: counts = -(entered superclusters),
+    clist/tlist hold supercluster ids + entry distances in the same FTB
+    order, and the kernel tests all GROUP members per listed entry. The
+    resident path guarantees S = K/GROUP <= 128 <= L, so the coarse list
+    never overflows — every block keeps a front-to-back break (the old
+    fallback swept all K clusters in id order with the break disabled,
+    ~K/L-fold the work of a typical block)."""
     ab = scene.sw_aabb                                     # (K, 8)
     K = ab.shape[0]
     N = o.shape[0]
@@ -180,9 +189,23 @@ def _build_lists_ftb(scene, o, d, inv, tnear, tfar, R, B, L):
                          dtype=jnp.int32)                  # (R,)
     order = jnp.argsort(key, axis=1)[:, :L].astype(jnp.int32)
     tlist = jnp.take_along_axis(key, order, axis=1)
-    counts = jnp.where(counts_raw > L, -jnp.int32(K),
+    # supercluster-granularity fallback lists for overflow blocks
+    G = GROUP
+    S = K // G
+    assert S <= L, f"supercluster list {S} must fit worklist cap {L}"
+    key_s = key.reshape(R, S, G).min(axis=2)               # (R, S)
+    counts_s = jnp.sum(key_s < INF, axis=1, dtype=jnp.int32)
+    order_s = jnp.argsort(key_s, axis=1).astype(jnp.int32)  # (R, S)
+    tlist_s = jnp.take_along_axis(key_s, order_s, axis=1)
+    pad = ((0, 0), (0, L - S))
+    order_s = jnp.pad(order_s, pad)
+    tlist_s = jnp.pad(tlist_s, pad, constant_values=INF)
+    over = counts_raw > L
+    clist = jnp.where(over[:, None], order_s, order)
+    tlist = jnp.where(over[:, None], tlist_s, tlist)
+    counts = jnp.where(over, -jnp.maximum(counts_s, 1),
                        jnp.minimum(counts_raw, L))
-    return order, tlist, counts
+    return clist, tlist, counts
 
 
 def _kernel_res(counts_ref, clist_ref, tlist_ref, ray_ref, A_ref,
@@ -194,7 +217,14 @@ def _kernel_res(counts_ref, clist_ref, tlist_ref, ray_ref, A_ref,
     Outputs only (t_best, winning cluster id): the u/v/prim extraction
     is 5 extra cross-lane reductions per cluster (~2x the whole dense
     test) and is DEFERRED to _resolve_hits, which re-tests each ray
-    against just its winning cluster."""
+    against just its winning cluster.
+
+    TWO clusters per loop iteration: the round-3 anatomy measured the
+    dense (128 x 128) test at ~0.6 us but ~1.5 us per loop iteration —
+    the difference is loop bookkeeping (scalar list loads, dynamic-index
+    setup, t_o read/modify/write, the cross-lane min). Pairing clusters
+    amortizes that fixed cost over twice the useful work; an odd list
+    tail re-tests its last cluster (idempotent for min-reduction)."""
     i = pl.program_id(0)
     cnt = counts_ref[i]
     over = cnt < 0
@@ -213,26 +243,23 @@ def _kernel_res(counts_ref, clist_ref, tlist_ref, ray_ref, A_ref,
 
     def cond(carry):
         it, tcap = carry
-        tnext = jnp.where(over, -INF,
-                          tlist_ref[i, jnp.minimum(it, L - 1)])
+        tnext = tlist_ref[i, jnp.minimum(it, L - 1)]
         return (it < n_it) & (tnext <= tcap)
 
-    def body(carry):
-        it, tcap = carry
-        kid = jnp.where(over, it, clist_ref[i, jnp.minimum(it, L - 1)])
+    def test_one(kid, lim):
         row = A_ref[kid]                                   # (16, C)
 
         def comp(j):
             return row[j:j + 1, :]                         # (1, C)
 
         def contract(c0, bias):
-            r = (ox * comp(c0) + oy * comp(c0 + 1) + ozc * comp(c0 + 2)
+            r = (ox * comp(c0) + oy * comp(c0 + 1) +
+                 ozc * comp(c0 + 2)
                  if bias else
-                 dx * comp(c0) + dy * comp(c0 + 1) + dzc * comp(c0 + 2))
+                 dx * comp(c0) + dy * comp(c0 + 1) +
+                 dzc * comp(c0 + 2))
             return r + comp(c0 + 3) if bias else r         # (B, C)
 
-        best = t_o[:]                                      # (B, 1)
-        lim = jnp.minimum(best, tfar)
         oz = contract(8, True)
         dz = contract(8, False)
         safe_dz = jnp.where(jnp.abs(dz) > 1e-12, dz, 1.0)
@@ -242,22 +269,74 @@ def _kernel_res(counts_ref, clist_ref, tlist_ref, ray_ref, A_ref,
         hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
                (u + v <= 1.0) & (t > tnear) & (t < lim))
         t = jnp.where(hit, t, INF)
-        tbn = jnp.min(t, axis=1, keepdims=True)            # (B, 1)
+        return jnp.min(t, axis=1, keepdims=True)           # (B, 1)
+
+    def cap_refresh(pred, nbest, tcap):
+        """The vector->scalar reduce feeding the break is a pipeline
+        stall; refresh it only every ~8 clusters of work (the win comes
+        from skipping the list TAIL, dozens of clusters deep). For
+        occlusion, ANY hit decides a ray — a decided ray stops holding
+        the block back entirely (-inf) instead of contributing its hit
+        distance as a closest-hit cap (intersection.cpp:67-85:
+        occluded() is the cheap call)."""
+        val = (lambda: jnp.max(jnp.where(nbest < INF, -INF, tfar))) \
+            if any_hit else (lambda: jnp.max(jnp.minimum(nbest, tfar)))
+        if pred is True:
+            return val()
+        return jax.lax.cond(pred, val, lambda: tcap)
+
+    def body_pairs(carry):
+        it, tcap = carry
+        best = t_o[:]                                      # (B, 1)
+        lim = jnp.minimum(best, tfar)
+        kid0 = clist_ref[i, jnp.minimum(it, L - 1)]
+        # odd tail: duplicate the last cluster (same min, no branch)
+        kid1 = clist_ref[i, jnp.minimum(
+            jnp.minimum(it + 1, n_it - 1), L - 1)]
+        tb0 = test_one(kid0, lim)
+        tb1 = test_one(kid1, lim)
+        tbn = jnp.minimum(tb0, tb1)
         better = tbn < best
         nbest = jnp.where(better, tbn, best)
         t_o[:] = nbest
-        k_o[:] = jnp.where(better, kid.astype(jnp.float32), k_o[:])
-        # The vector->scalar reduce feeding the break is a pipeline
-        # stall; refresh it every 8 clusters instead of every one
-        # (break granularity 8 — the win comes from skipping the list
-        # TAIL, which is dozens of clusters deep when it fires).
-        ncap = jax.lax.cond(
-            jax.lax.rem(it, 8) == 7,
-            lambda: jnp.max(jnp.minimum(nbest, tfar)),
-            lambda: tcap)
+        if not any_hit:
+            kwin = jnp.where(tb1 < tb0, kid1.astype(jnp.float32),
+                             kid0.astype(jnp.float32))
+            k_o[:] = jnp.where(better, kwin, k_o[:])
+        ncap = cap_refresh(jax.lax.rem(it, 8) == 6, nbest, tcap)
+        return it + 2, ncap
+
+    def body_super(carry):
+        # overflow blocks: one SUPERCLUSTER per iteration (GROUP member
+        # clusters, statically unrolled) in front-to-back order — keeps
+        # the early break the old all-K fallback lost
+        it, tcap = carry
+        best = t_o[:]
+        lim = jnp.minimum(best, tfar)
+        sid = clist_ref[i, jnp.minimum(it, L - 1)]
+        tbn = jnp.full_like(best, INF)
+        kwin = jnp.full_like(best, -1.0)
+        for g in range(GROUP):
+            kid = sid * GROUP + g
+            tb = test_one(kid, lim)
+            if not any_hit:
+                kwin = jnp.where(tb < tbn, kid.astype(jnp.float32), kwin)
+            tbn = jnp.minimum(tbn, tb)
+        better = tbn < best
+        nbest = jnp.where(better, tbn, best)
+        t_o[:] = nbest
+        if not any_hit:
+            k_o[:] = jnp.where(better, kwin, k_o[:])
+        ncap = cap_refresh(True, nbest, tcap)   # 8 clusters/iteration
         return it + 1, ncap
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), INF))
+    @pl.when(~over)
+    def _normal():
+        jax.lax.while_loop(cond, body_pairs, (jnp.int32(0), INF))
+
+    @pl.when(over)
+    def _superclusters():
+        jax.lax.while_loop(cond, body_super, (jnp.int32(0), INF))
 
 
 def _kernel_resolve(dcounts_ref, dlist_ref, ray_ref, kid_ref, A_ref,
@@ -371,6 +450,7 @@ def _resolve_hits(scene, o, d, tnear, t_best, kid_best, K):
             out_specs=[out(), out(), out()],
         ),
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32)] * 3,
+        interpret=INTERPRET,
     )(dcounts, dlist, rays, kidf, scene.sw_lane)
     inv = jnp.argsort(perm)
     return p[inv, 0], u[inv, 0], v[inv, 0]
@@ -423,6 +503,7 @@ def _call_res(scene, o, d, tnear, tfar, any_hit):
             out_specs=[out(), out()],
         ),
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32)] * 2,
+        interpret=INTERPRET,
     )(counts, clist, tlist, rays, scene.sw_lane)
     if any_hit:
         return (t[:N, 0], jnp.where(t[:N, 0] < INF, 0, -1), t[:N, 0],
@@ -561,6 +642,7 @@ def _call_list(scene, o, d, tnear, tfar, any_hit):
             ],
         ),
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32)] * 4,
+        interpret=INTERPRET,
     )(counts, clist, rays, scene.sw_lane)
     return (t[:N, 0], p[:N, 0].astype(jnp.int32), u[:N, 0], v[:N, 0])
 
@@ -691,6 +773,7 @@ def _call_streaming(scene, o, d, tnear, tfar, any_hit):
         ],
         out_specs=[ray(1), ray(1), ray(1), ray(1)],
         out_shape=[jax.ShapeDtypeStruct((1, Np), jnp.float32)] * 4,
+        interpret=INTERPRET,
     )(o.T, d.T, inv.T, tnear[None, :], tfar[None, :],
       scene.sw_saabb, scene.sw_aabb, scene.sw_A, scene.sw_prim)
     return (t[0, :N], p[0, :N].astype(jnp.int32), u[0, :N], v[0, :N])

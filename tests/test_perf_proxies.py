@@ -84,11 +84,14 @@ def _cull_stats(scene, o, d):
     R = (N + pad) // LIST_B
     K = scene.sw_aabb.shape[0]
     L = min(LIST_LEN, K)
+    from lajolla_tpu.ops.intersect_sweep import GROUP
     _cl, _tl, counts = _build_lists_ftb(scene, o, d, inv, tn, tf, R,
                                         LIST_B, L)
     c = np.asarray(counts)
     over = c < 0
-    eff = np.where(over, K, c)
+    # overflow blocks sweep -counts superclusters of GROUP clusters each
+    # (the r4 supercluster fallback; the pre-r4 fallback cost K)
+    eff = np.where(over, -c * GROUP, c)
     return float(eff.mean()), float(over.mean())
 
 
