@@ -125,11 +125,53 @@ def _intersect(o, d, tnear, tfar, W, T):
     return t_best, sel, ub, vb
 
 
+OCC_DIVFREE = True  # division-free shadow predicate (A/B'd on TPU; the
+                    # (T, B) f32 divide is the costliest elementwise op
+                    # in the any-hit sweep and a boolean needs none)
+
+
 def _occluded(o, d, tnear, tfar, W, T):
     """Any-hit shadow cast: no closest-hit reduction, no one-hot select.
-    Returns occ (1, B) bool."""
-    t, u, v = _woop_tuv(o, d, W, T)
-    hit = _hit_mask(t, u, v, tnear, tfar)
+    Returns occ (1, B) bool.
+
+    Division-free form: with U = ox*dz - oz*dx, V = oy*dz - oz*dy
+    (so u = U/dz, v = V/dz, t = -oz/dz), every hit predicate becomes a
+    sign test after multiplying through by dz (dz == 0 rows make all
+    products 0 and the strict t>tnear test false — same no-hit outcome
+    as the NaN propagation in the dividing form):
+      u >= 0        <=>  U*dz >= 0
+      v >= 0        <=>  V*dz >= 0
+      u + v <= 1    <=>  (U + V - dz)*dz <= 0
+      t > tnear     <=>  (-oz - tnear*dz)*dz > 0
+      t < tfar      <=>  (-oz - tfar*dz)*dz < 0"""
+    if not OCC_DIVFREE:
+        t, u, v = _woop_tuv(o, d, W, T)
+        hit = _hit_mask(t, u, v, tnear, tfar)
+        return jnp.max(hit.astype(jnp.float32), axis=0,
+                       keepdims=True) > 0.0
+
+    def contract(A, vec, with_bias):
+        r = (A[:, 0:1] * vec[0:1, :] + A[:, 1:2] * vec[1:2, :] +
+             A[:, 2:3] * vec[2:3, :])
+        if with_bias:
+            r = r + A[:, 3:4]
+        return r
+
+    Az, Ax, Ay = W[0:T], W[T:2 * T], W[2 * T:3 * T]
+    oz = contract(Az, o, True)
+    dz = contract(Az, d, False)
+    ox = contract(Ax, o, True)
+    dx = contract(Ax, d, False)
+    oy = contract(Ay, o, True)
+    dy = contract(Ay, d, False)
+    w = -oz
+    U = ox * dz + w * dx
+    V = oy * dz + w * dy
+    hit = ((U * dz >= 0.0) & (V * dz >= 0.0) &
+           ((U + V - dz) * dz <= 0.0) &
+           ((w - tnear * dz) * dz > 0.0))
+    if tfar is not None:
+        hit = hit & ((w - tfar * dz) * dz < 0.0)
     return jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True) > 0.0
 
 

@@ -518,9 +518,18 @@ def _call_res(scene, o, d, tnear, tfar, any_hit):
 # sublanes — the orientation VMEM tiling actually supports at scale)
 # ---------------------------------------------------------------------------
 
-def _kernel_lane(counts_ref, clist_ref, ray_ref, A_any,
+def _kernel_lane(counts_ref, clist_ref, tlist_ref, ray_ref, A_any,
                  t_o, p_o, u_o, v_o, rowbuf, rsem,
-                 *, C: int, any_hit: bool):
+                 *, C: int, K: int, any_hit: bool):
+    """HBM-streamed list sweep with a front-to-back early break.
+
+    The break interacts with the double-buffered prefetch: a DMA issued
+    for an iteration that never runs would leave its semaphore signaled
+    for the NEXT grid step's reuse of the scratch. So the next row's
+    fetch is issued iff the loop will actually continue, decided with
+    the cap as of the PREVIOUS iteration (the break fires one cluster
+    late, every issued DMA is consumed, and the fetch still overlaps
+    the current row's dense test)."""
     i = pl.program_id(0)
     cnt = counts_ref[i]
     ox = ray_ref[:, 0:1]                   # (B, 1) sublane columns
@@ -543,7 +552,7 @@ def _kernel_lane(counts_ref, clist_ref, ray_ref, A_any,
     # cluster is one (16, C) DMA into a double-buffered scratch whose
     # fetch overlaps the previous cluster's dense test.
     def dma_row(slot, it):
-        kid = clist_ref[i, it]
+        kid = clist_ref[i, jnp.minimum(it, K - 1)]
         return pltpu.make_async_copy(A_any.at[kid],
                                      rowbuf.at[slot], rsem.at[slot])
 
@@ -551,11 +560,18 @@ def _kernel_lane(counts_ref, clist_ref, ray_ref, A_any,
     def _warmup():
         dma_row(0, 0).start()
 
-    def body(it, _):
+    def cond(carry):
+        _it, started, _tcap = carry
+        return started
+
+    def body(carry):
+        it, _started, tcap = carry
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
+        cont_next = (it + 1 < cnt) & \
+            (tlist_ref[i, jnp.minimum(it + 1, K - 1)] <= tcap)
 
-        @pl.when(it + 1 < cnt)
+        @pl.when(cont_next)
         def _prefetch():
             dma_row(nxt, it + 1).start()
 
@@ -584,7 +600,8 @@ def _kernel_lane(counts_ref, clist_ref, ray_ref, A_any,
         t = jnp.where(hit, t, INF)
         tbn = jnp.min(t, axis=1, keepdims=True)            # (B, 1)
         better = tbn < best
-        t_o[:] = jnp.where(better, tbn, best)
+        nbest = jnp.where(better, tbn, best)
+        t_o[:] = nbest
         if any_hit:
             p_o[:] = jnp.where(better, 0.0, p_o[:])
         else:
@@ -600,9 +617,16 @@ def _kernel_lane(counts_ref, clist_ref, ray_ref, A_any,
             p_o[:] = jnp.where(better, pn, p_o[:])
             u_o[:] = jnp.where(better, un, u_o[:])
             v_o[:] = jnp.where(better, vn, v_o[:])
-        return 0
+        # cap refresh every iteration: the scalar reduce stall hides
+        # under the next row's in-flight DMA. Any-hit: a decided ray
+        # stops holding the block back (see _kernel_res.cap_refresh).
+        if any_hit:
+            ncap = jnp.max(jnp.where(nbest < INF, -INF, tfar))
+        else:
+            ncap = jnp.max(jnp.minimum(nbest, tfar))
+        return it + 1, cont_next, ncap
 
-    jax.lax.fori_loop(0, counts_ref[i], body, 0)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), cnt > 0, INF))
 
 
 def _call_list(scene, o, d, tnear, tfar, any_hit):
@@ -618,17 +642,26 @@ def _call_list(scene, o, d, tnear, tfar, any_hit):
     Np = N + pad
     R = Np // LANE_R
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-    clist, counts = _build_lists(scene, o, d, inv, tnear, tfar, R,
-                                 LANE_R)
+    # clamp horizons to the global-AABB exit so escaping rays stop
+    # blocking the front-to-back break (same as _call_res)
+    lo = jnp.min(scene.cl_lo, axis=0)
+    hi = jnp.max(scene.cl_hi, axis=0)
+    ta = (lo[None, :] - o) * inv
+    tb = (hi[None, :] - o) * inv
+    texit = jnp.min(jnp.maximum(ta, tb), axis=1)
+    tfar = jnp.minimum(tfar, texit * 1.0001 + 1e-5)
+    # full-width (L = K) front-to-back lists: no overflow possible
+    clist, tlist, counts = _build_lists_ftb(scene, o, d, inv, tnear,
+                                            tfar, R, LANE_R, K)
     rays = jnp.concatenate([o, tnear[:, None], d, tfar[:, None]],
                            axis=1)                         # (Np, 8)
-    kern = functools.partial(_kernel_lane, C=C, any_hit=any_hit)
+    kern = functools.partial(_kernel_lane, C=C, K=K, any_hit=any_hit)
     out = lambda: pl.BlockSpec((LANE_R, 1), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM)
     t, p, u, v = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(R,),
             in_specs=[
                 pl.BlockSpec((LANE_R, 8), lambda i, *_: (i, 0),
@@ -643,7 +676,7 @@ def _call_list(scene, o, d, tnear, tfar, any_hit):
         ),
         out_shape=[jax.ShapeDtypeStruct((Np, 1), jnp.float32)] * 4,
         interpret=INTERPRET,
-    )(counts, clist, rays, scene.sw_lane)
+    )(counts, clist, tlist, rays, scene.sw_lane)
     return (t[:N, 0], p[:N, 0].astype(jnp.int32), u[:N, 0], v[:N, 0])
 
 

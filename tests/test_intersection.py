@@ -191,18 +191,32 @@ def test_sweep_matches_brute_force():
 
     t_ref = jax.vmap(lambda o, d: _brute(fscene, o, d))(jnp.asarray(o),
                                                         jnp.asarray(d))
-    t_sw, prim, u, v = jax.jit(
-        lambda o_, d_: intersect_sweep(sc, o_, d_, tn, tf))(
-            jnp.asarray(o), jnp.asarray(d))
-    np.testing.assert_allclose(
-        np.where(np.isfinite(t_sw), t_sw, 1e9),
-        np.where(np.isfinite(np.asarray(t_ref)), np.asarray(t_ref), 1e9),
-        rtol=3e-4, atol=3e-5)
+    import lajolla_tpu.ops.intersect_sweep as SW
+    old_res = SW.RESIDENT_BYTES
+    try:
+        for res_bytes in (old_res, 0):
+            # res_bytes=0 forces the HBM-streamed _call_list kernel
+            # (sponza class) so BOTH compiled kernels get the oracle
+            SW.RESIDENT_BYTES = res_bytes
+            t_sw, prim, u, v = jax.jit(
+                lambda o_, d_: intersect_sweep(sc, o_, d_, tn, tf))(
+                    jnp.asarray(o), jnp.asarray(d))
+            np.testing.assert_allclose(
+                np.where(np.isfinite(t_sw), t_sw, 1e9),
+                np.where(np.isfinite(np.asarray(t_ref)),
+                         np.asarray(t_ref), 1e9),
+                rtol=3e-4, atol=3e-5)
+            # resolve invariant: finite t_best => resolved prim
+            assert bool(np.all((np.asarray(prim) >= 0) ==
+                               np.isfinite(np.asarray(t_sw))))
 
-    occ = np.asarray(jax.jit(
-        lambda o_, d_: occluded_sweep(sc, o_, d_, tn, tf))(
-            jnp.asarray(o), jnp.asarray(d)))
-    np.testing.assert_array_equal(occ, np.isfinite(np.asarray(t_ref)))
+            occ = np.asarray(jax.jit(
+                lambda o_, d_: occluded_sweep(sc, o_, d_, tn, tf))(
+                    jnp.asarray(o), jnp.asarray(d)))
+            np.testing.assert_array_equal(occ,
+                                          np.isfinite(np.asarray(t_ref)))
+    finally:
+        SW.RESIDENT_BYTES = old_res
 
 
 def test_sweep_interpret_matches_brute_force():
@@ -249,12 +263,17 @@ def test_sweep_interpret_matches_brute_force():
     t_ref = jax.vmap(lambda o, d: _brute(fscene, o, d))(jnp.asarray(o),
                                                         jnp.asarray(d))
     old, old_len = SW.INTERPRET, SW.LIST_LEN
+    old_res = SW.RESIDENT_BYTES
     SW.INTERPRET = True
     try:
-        for list_len in (old_len, 4):
+        for list_len, res_bytes in ((old_len, old_res), (4, old_res),
+                                    (old_len, 0)):
             # list_len=4 forces worklist OVERFLOW on most blocks,
-            # exercising the supercluster-granularity fallback sweep
+            # exercising the supercluster-granularity fallback sweep;
+            # res_bytes=0 forces the HBM-streamed _call_list kernel
+            # (sponza class: DMA'd rows + break-aware prefetch)
             SW.LIST_LEN = list_len
+            SW.RESIDENT_BYTES = res_bytes
             t_sw, prim, u, v = SW.intersect_sweep(sc, jnp.asarray(o),
                                                   jnp.asarray(d), tn, tf)
             occ = np.asarray(SW.occluded_sweep(sc, jnp.asarray(o),
@@ -272,3 +291,4 @@ def test_sweep_interpret_matches_brute_force():
                 occ, np.isfinite(np.asarray(t_ref)))
     finally:
         SW.INTERPRET, SW.LIST_LEN = old, old_len
+        SW.RESIDENT_BYTES = old_res
