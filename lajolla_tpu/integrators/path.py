@@ -441,23 +441,30 @@ def _render_block(scene, options, seed, s0, nspp, lanes=None):
 DRAIN_DIV = 4
 
 
-@partial(jax.jit, static_argnames=('options',))
-def _drain_block(scene, options, seed, st):
+@partial(jax.jit, static_argnames=('options', 'early_exit'))
+def _drain_block(scene, options, seed, st, early_exit=False):
     """Finish the compacted survivors of an early-exited
     _render_block_sc. Drained lanes never regenerate, so each lane's
     radiance lands on one fixed pixel: no per-step film splat — latch L
-    at death and return (item, L_final, iterations) for ONE host-side
+    at death and return (state, L_final, iterations) for ONE host-side
     scatter. Estimator-identical to the in-loop path: the RNG stream is
     keyed on (seed, item, nv) only, independent of lane position or pool
-    width."""
+    width. early_exit=True stops once live lanes fall to width/DRAIN_DIV
+    so the host can re-compact (the drain CASCADE: path-length tails are
+    long, and a single fixed-width drain runs its last ~100 iterations
+    at a few percent occupancy — see _drain_cascade)."""
     su = jnp.uint32(seed)
     kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
             jnp.uint32(_GOLD))[None, :]
     L_final = jnp.zeros_like(st[7])
+    width = st[0].shape[0]
 
     def cond(carry):
         st, _, _it = carry
-        return ~jnp.all(st[11])
+        live = jnp.sum(~st[11])
+        if early_exit:
+            return live > (width // DRAIN_DIV)
+        return live > 0
 
     def body(carry):
         st, Lf, it = carry
@@ -473,7 +480,54 @@ def _drain_block(scene, options, seed, st):
 
     st, L_final, iters = jax.lax.while_loop(
         cond, body, (st, L_final, jnp.int32(0)))
-    return st[0], L_final, iters
+    return st, L_final, iters
+
+
+def _compact_state(st, done_idx, width):
+    """Gather live lanes of a host-side state tuple into a width-lane
+    pool (padding lanes are marked done and never advance)."""
+    import numpy as np
+    done = np.asarray(st[done_idx])
+    alive = np.nonzero(~done)[0]
+    idx = np.zeros(width, np.int64)
+    idx[:len(alive)] = alive
+    stc = [np.asarray(x)[idx] for x in st]
+    stc[done_idx] = np.ones(width, bool)
+    stc[done_idx][:len(alive)] = False
+    return tuple(jnp.asarray(x) for x in stc)
+
+
+def _drain_cascade(scene, options, seed, st, film, n_q, drain_fn,
+                   done_idx, min_width=256):
+    """Host loop: repeatedly compact survivors into a pool sized to
+    them (next power of two, >= min_width) and drain with early exit,
+    re-compacting every time live lanes fall another DRAIN_DIV-fold.
+    Path-length tails are heavy (hetvol: a single fixed-width drain
+    measured 130 iterations for a 7-iteration main loop), so keeping
+    the pool matched to the survivor count makes the tail cost
+    geometric instead of max-path-length x fixed width. Splats each
+    level's latched radiance into `film` (numpy, in place); returns
+    total drain lane-steps for QUEUE_STATS."""
+    import numpy as np
+    lane_steps = 0
+    while True:
+        done = np.asarray(st[done_idx])
+        alive = int((~done).sum())
+        if alive == 0:
+            return lane_steps
+        # power-of-FOUR width ladder (matches DRAIN_DIV): a pool ladder
+        # of lanes/4, lanes/16, ... bounds the number of distinct drain
+        # shapes (= device compilations) to ~3 per scene while still
+        # shrinking the pool geometrically with the survivor tail
+        ratio = max(1, -(-alive // min_width))
+        width = min_width * (4 ** int(np.ceil(np.log(ratio) /
+                                              np.log(4.0))))
+        stc = _compact_state(st, done_idx, width)
+        st, Lf, iters = drain_fn(scene, options, seed, stc,
+                                 early_exit=width > min_width)
+        lane_steps += int(iters) * width
+        pix = np.asarray(st[0]).astype(np.int64) % n_q
+        np.add.at(film, pix, np.asarray(Lf))
 
 
 QUEUE_STATS = {}   # last _render_block_drained occupancy telemetry
@@ -492,26 +546,14 @@ def _render_block_drained(scene, options, seed, s0, nspp, lanes):
                                             nspp, lanes, early_exit=True)
     film = np.array(film)   # writable copy (np.asarray of a jax array
                             # is a read-only view)
-    done = np.asarray(st[11])
-    iters_drain, width = 0, 0
-    if not done.all():
-        width = max(lanes // DRAIN_DIV, 1)
-        alive = np.nonzero(~done)[0]
-        idx = np.zeros(width, np.int64)
-        idx[:len(alive)] = alive
-        stc = [np.asarray(x)[idx] for x in st]
-        stc[11] = np.ones(width, bool)
-        stc[11][:len(alive)] = False
-        items, L, iters_drain = _drain_block(
-            scene, options, seed, tuple(jnp.asarray(x) for x in stc))
-        pix = np.asarray(items).astype(np.int64) % n_q
-        np.add.at(film, pix, np.asarray(L))
+    drain_steps = _drain_cascade(scene, options, seed, st, film, n_q,
+                                 _drain_block, done_idx=11)
     paths = n_q * nspp
     QUEUE_STATS.update(
-        iters_main=int(iters_main), iters_drain=int(iters_drain),
-        lanes=lanes, drain_width=int(width), paths=paths,
-        lane_steps_per_path=(int(iters_main) * lanes +
-                             int(iters_drain) * int(width)) / paths)
+        iters_main=int(iters_main), drain_lane_steps=drain_steps,
+        lanes=lanes, paths=paths,
+        lane_steps_per_path=(int(iters_main) * lanes + drain_steps)
+        / paths)
     return film
 
 

@@ -1136,20 +1136,26 @@ def _render_volpath_block(scene, options, seed, s0, nspp, lanes=None,
 VOL_DRAIN_DIV = 4
 
 
-@partial(jax.jit, static_argnames=('options',))
-def _drain_volpath_block(scene, options, seed, st):
+@partial(jax.jit, static_argnames=('options', 'early_exit'))
+def _drain_volpath_block(scene, options, seed, st, early_exit=False):
     """Finish the compacted survivors of an early-exited
     _render_volpath_block: no regeneration, so each lane's radiance
     latches at death and lands in ONE host-side scatter (see path.py
-    _drain_block)."""
+    _drain_block / _drain_cascade — volumetric path-length tails are
+    the heaviest in the suite, hetvol measured 130 fixed-width drain
+    iterations for a 7-iteration main loop before the cascade)."""
     su = _pcg_hash(jnp.uint32(seed) ^ jnp.uint32(0x701A77E5))
     use_machine = scene.meta.has_grid_volumes
     advance = _advance_event if use_machine else _advance_vol_lane
     L_final = jnp.zeros_like(st[5])
+    width = st[0].shape[0]
 
     def cond(carry):
         st, _, _it = carry
-        return ~jnp.all(st[-1])
+        live = jnp.sum(~st[-1])
+        if early_exit:
+            return live > (width // VOL_DRAIN_DIV)
+        return live > 0
 
     def body(carry):
         st, Lf, it = carry
@@ -1163,7 +1169,7 @@ def _drain_volpath_block(scene, options, seed, st):
 
     st, L_final, iters = jax.lax.while_loop(
         cond, body, (st, L_final, jnp.int32(0)))
-    return st[0], L_final, iters
+    return st, L_final, iters
 
 
 QUEUE_STATS = {}   # last _render_volpath_block_drained occupancy
@@ -1180,27 +1186,17 @@ def _render_volpath_block_drained(scene, options, seed, s0, nspp, lanes,
     n = scene.meta.width * scene.meta.height
     film, st, iters_main = _render_volpath_block(
         scene, options, seed, s0, nspp, lanes, i0, count, early_exit=True)
+    from lajolla_tpu.integrators.path import _drain_cascade
     film = np.array(film)
-    done = np.asarray(st[-1])
-    iters_drain, width = 0, 0
-    if not done.all():
-        width = max(lanes // VOL_DRAIN_DIV, 1)
-        alive = np.nonzero(~done)[0]
-        idx = np.zeros(width, np.int64)
-        idx[:len(alive)] = alive
-        stc = [np.asarray(x)[idx] for x in st]
-        stc[-1] = np.ones(width, bool)
-        stc[-1][:len(alive)] = False
-        items, L, iters_drain = _drain_volpath_block(
-            scene, options, seed, tuple(jnp.asarray(x) for x in stc))
-        pix = np.asarray(items).astype(np.int64) % n
-        np.add.at(film, pix, np.asarray(L))
+    drain_steps = _drain_cascade(scene, options, seed, st, film, n,
+                                 _drain_volpath_block,
+                                 done_idx=len(st) - 1)
     work = count if count is not None else n * nspp
     QUEUE_STATS.update(
-        iters_main=int(iters_main), iters_drain=int(iters_drain),
-        lanes=lanes, drain_width=int(width), paths=work,
-        lane_steps_per_path=(int(iters_main) * lanes +
-                             int(iters_drain) * int(width)) / work)
+        iters_main=int(iters_main), drain_lane_steps=drain_steps,
+        lanes=lanes, paths=work,
+        lane_steps_per_path=(int(iters_main) * lanes + drain_steps)
+        / work)
     return film
 
 

@@ -73,40 +73,40 @@ def test_volpath_cbox_brightness():
 # Image gates vs reference renders
 # ---------------------------------------------------------------------------
 
-# name -> (scene path, test spp, rel-RMSE threshold)
-# Thresholds: ~1.5-2x the measured error of the current validated engine
-# at the test spp (see docs/VALIDATION.md "Reference image gates").
-# Noise calibration (round 3): at the gate spp the ours-vs-ref error is
-# dominated by OUR render's MC noise (verified by rendering at 8-16x the
-# gate spp, where ours-vs-ref error converges to the ours-vs-ours seed
-# spread; see docs/VALIDATION.md "Reference image gates"). Measured
-# ours-vs-ref at gate spp across seeds: cbox 0.039-0.047, veach 0.165,
-# vol_cbox 0.154-0.171, hetvol ~0.24, matpreview ~0.15, sponza ~0.19.
-# Thresholds sit ~1.5x those points — loose enough for noise
-# realizations, tight enough that estimator bias of ~2x the noise floor
-# still fails the gate (the bf16-dot-precision bug this round measured
-# 0.21 on matpreview and was caught by exactly this comparison at
-# higher spp; tests/test_northstar.py carries the tight TPU-side gates).
+# name -> (scene path, test spp, rel-RMSE threshold, gate seeds)
+# Metric (round 4): 8x8-box-downsampled relative RMSE — averaging 4x
+# more MC samples per region than the old 4x4 metric halves the noise
+# floor for FREE (wall time unchanged), while smooth estimator bias
+# (wrong lobe weight, wrong transmittance, the r3 bf16-einsum +4%)
+# survives any downsampling. Measured ours-vs-golden d8 error at gate
+# spp across seeds {2,7} (r4, /root/work/golden_noise.log): cbox
+# 0.023-0.027, disney 0.022-0.024, veach 0.061-0.092, vol_cbox
+# 0.060-0.093, matpreview 0.053-0.069, sponza 0.054-0.061, hetvol
+# 0.103-0.118 (hetvol gates on the 2-seed average -> noise/sqrt(2)).
+# Thresholds sit ~1.6x the measured max — every scene now gates at
+# <= 0.15 (the r3 4x4 gates ran 0.24-0.37 on the heavy scenes);
+# tests/test_northstar.py carries the tight TPU-side gates.
 GOLD_SCENES = {
-    "cbox": (f"{REF}/cbox/cbox.xml", 64, 0.060),
-    "veach_mi": (f"{REF}/veach_mi/mi.xml", 64, 0.27),
-    "vol_cbox": (f"{REF}/volpath_test/vol_cbox.xml", 32, 0.27),
-    "hetvol": (f"{REF}/volpath_test/hetvol.xml", 32, 0.37),
-    "matpreview": (f"{REF}/matpreview/matpreview.xml", 32, 0.24),
-    "disney_bsdf": (f"{REF}/disney_bsdf_test/disney_bsdf.xml", 64, 0.11),
-    "sponza": (f"{REF}/sponza/sponza.xml", 32, 0.30),
+    "cbox": (f"{REF}/cbox/cbox.xml", 64, 0.045, (2,)),
+    "veach_mi": (f"{REF}/veach_mi/mi.xml", 64, 0.15, (2,)),
+    "vol_cbox": (f"{REF}/volpath_test/vol_cbox.xml", 32, 0.15, (2,)),
+    "hetvol": (f"{REF}/volpath_test/hetvol.xml", 32, 0.14, (2, 7)),
+    "matpreview": (f"{REF}/matpreview/matpreview.xml", 32, 0.11, (2,)),
+    "disney_bsdf": (f"{REF}/disney_bsdf_test/disney_bsdf.xml", 64, 0.05,
+                    (2,)),
+    "sponza": (f"{REF}/sponza/sponza.xml", 32, 0.10, (2,)),
 }
 
 
-def _down4(img):
+def _downk(img, k=8):
     h, w, c = img.shape
-    return img[:h - h % 4, :w - w % 4].reshape(
-        h // 4, 4, w // 4, 4, c).mean(axis=(1, 3))
+    return img[:h - h % k, :w - w % k].reshape(
+        h // k, k, w // k, k, c).mean(axis=(1, 3))
 
 
-def rel_rmse(a, b):
-    """4x4-downsampled relative RMSE with a luminance floor."""
-    a, b = _down4(a), _down4(b)
+def rel_rmse(a, b, k=8):
+    """k x k-downsampled relative RMSE with a luminance floor."""
+    a, b = _downk(a, k), _downk(b, k)
     eps = 0.1 * float(b.mean()) + 1e-6
     return float(np.sqrt(np.mean((a - b) ** 2 / (b ** 2 + eps ** 2))))
 
@@ -118,10 +118,11 @@ def test_golden_image_gate(name):
         pytest.skip(f"no reference golden for {name} "
                     "(run tools/ref_renders.py goldens)")
     g = np.load(path)
-    scene_path, test_spp, thresh = GOLD_SCENES[name]
+    scene_path, test_spp, thresh, seeds = GOLD_SCENES[name]
     scene, opts = load_lowres(scene_path, int(g["res"]))
     opts = dataclasses.replace(opts, samples_per_pixel=test_spp)
-    img = np.asarray(render(scene, opts, seed=2))
+    imgs = [np.asarray(render(scene, opts, seed=s)) for s in seeds]
+    img = np.mean(imgs, axis=0)
     assert np.isfinite(img).all()
     err = rel_rmse(img, g["img"])
     assert err <= thresh, \

@@ -45,27 +45,27 @@ def matpreview():
 
 
 def test_queue_lane_steps_cbox():
-    """cbox 64x64 @4spp through the drained wavefront: 31 main iters at
-    4096 lanes + 10 drain iters at 1024 = 8.375 lane-steps/path
-    (measured r4; true mean path length ~3.5 -> occupancy waste ~2.4x,
-    the number tail compaction exists to bound)."""
+    """cbox 64x64 @4spp through the drained wavefront with the cascade
+    drain: 7.906 lane-steps/path measured r4 (8.375 with the r3
+    fixed-width drain; true mean path length ~3.5)."""
     import lajolla_tpu.integrators.path as P
     scene, opts = _lowres(f"{REF}/cbox/cbox.xml", 64, 64)
     opts = dataclasses.replace(opts, samples_per_pixel=4)
     P._render_block_drained(scene, opts, 0, 0, 4, 64 * 64)
     s = dict(P.QUEUE_STATS)
-    assert s["lane_steps_per_path"] <= 8.375 * 1.10, s
+    assert s["lane_steps_per_path"] <= 7.91 * 1.10, s
 
 
 def test_queue_lane_steps_matpreview(matpreview):
     """Binned-scene queue occupancy (the matpreview class the sweep
-    caster serves): 10.0 lane-steps/path measured r4 at 48x36 @1spp."""
+    caster serves): 7.96 lane-steps/path measured r4 at 48x36 @1spp
+    with the cascade drain (10.0 with the r3 fixed-width drain)."""
     import lajolla_tpu.integrators.path as P
     scene, opts = matpreview
     opts = dataclasses.replace(opts, samples_per_pixel=1)
     P._render_block_drained(scene, opts, 0, 0, 1, 48 * 36)
     s = dict(P.QUEUE_STATS)
-    assert s["lane_steps_per_path"] <= 10.0 * 1.10, s
+    assert s["lane_steps_per_path"] <= 7.97 * 1.10, s
 
 
 def _cull_stats(scene, o, d):
