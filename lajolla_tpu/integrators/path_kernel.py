@@ -101,19 +101,27 @@ def _woop_tuv(o, d, W, T):
     return t, u, v
 
 
-def _hit_mask(t, u, v, tnear, tfar):
-    m = jnp.minimum(jnp.minimum(u, v), 1.0 - u - v)
+def _hit_mask(t, u, v, tnear, tfar, qf=None):
+    """qf: (T, 1) quad flags — flagged rows accept the parallelogram
+    max(u, v) <= 1 instead of the triangle u + v <= 1 (cast-space quad
+    merging, scene/compile.py _merge_parallelograms)."""
+    lim = 1.0 - u - v
+    if qf is not None:
+        lim = jnp.where(qf > 0.0, 1.0 - jnp.maximum(u, v), lim)
+    m = jnp.minimum(jnp.minimum(u, v), lim)
     hit = (m >= 0.0) & (t > tnear)
     if tfar is not None:
         hit = hit & (t < tfar)
     return hit
 
 
-def _intersect(o, d, tnear, tfar, W, T):
-    """Woop brute force. o,d: (3,B); tnear/tfar: (1,B)/scalar/None(=inf).
-    Returns (t_best (1,B), sel (T,B) one-hot, u (1,B), v (1,B))."""
+def _intersect(o, d, tnear, tfar, W, T, qf):
+    """Woop brute force over the cast table. o,d: (3,B); tnear/tfar:
+    (1,B)/scalar/None(=inf); qf: (T,1) quad flags. Returns (t_best
+    (1,B), sel (T,B) one-hot, u (1,B), v (1,B), qb (1,B) winner-is-quad)
+    — u/v in the REP triangle's frame (caller remaps u+v>1 quad hits)."""
     t, u, v = _woop_tuv(o, d, W, T)
-    hit = _hit_mask(t, u, v, tnear, tfar)
+    hit = _hit_mask(t, u, v, tnear, tfar, qf)
     t = jnp.where(hit, t, INF)
     t_best = jnp.min(t, axis=0, keepdims=True)
     sel = (t == t_best) & hit
@@ -122,7 +130,9 @@ def _intersect(o, d, tnear, tfar, W, T):
     sel = sel & (iota == first)
     ub = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
     vb = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-    return t_best, sel, ub, vb
+    qb = jnp.sum(jnp.where(sel, jnp.broadcast_to(qf, sel.shape), 0.0),
+                 axis=0, keepdims=True)
+    return t_best, sel, ub, vb, qb
 
 
 OCC_DIVFREE = True  # division-free shadow predicate (A/B'd on TPU; the
@@ -130,9 +140,9 @@ OCC_DIVFREE = True  # division-free shadow predicate (A/B'd on TPU; the
                     # in the any-hit sweep and a boolean needs none)
 
 
-def _occluded(o, d, tnear, tfar, W, T):
+def _occluded(o, d, tnear, tfar, W, T, qf):
     """Any-hit shadow cast: no closest-hit reduction, no one-hot select.
-    Returns occ (1, B) bool.
+    qf: (T, 1) quad flags (see _hit_mask). Returns occ (1, B) bool.
 
     Division-free form: with U = ox*dz - oz*dx, V = oy*dz - oz*dy
     (so u = U/dz, v = V/dz, t = -oz/dz), every hit predicate becomes a
@@ -146,7 +156,7 @@ def _occluded(o, d, tnear, tfar, W, T):
       t < tfar      <=>  (-oz - tfar*dz)*dz < 0"""
     if not OCC_DIVFREE:
         t, u, v = _woop_tuv(o, d, W, T)
-        hit = _hit_mask(t, u, v, tnear, tfar)
+        hit = _hit_mask(t, u, v, tnear, tfar, qf)
         return jnp.max(hit.astype(jnp.float32), axis=0,
                        keepdims=True) > 0.0
 
@@ -167,8 +177,12 @@ def _occluded(o, d, tnear, tfar, W, T):
     w = -oz
     U = ox * dz + w * dx
     V = oy * dz + w * dy
-    hit = ((U * dz >= 0.0) & (V * dz >= 0.0) &
-           ((U + V - dz) * dz <= 0.0) &
+    # quad rows: u <= 1 and v <= 1 replace u + v <= 1 (same multiply-
+    # through-by-dz trick: u <= 1 <=> (U - dz) * dz <= 0)
+    lim_ok = jnp.where(qf > 0.0,
+                       ((U - dz) * dz <= 0.0) & ((V - dz) * dz <= 0.0),
+                       (U + V - dz) * dz <= 0.0)
+    hit = ((U * dz >= 0.0) & (V * dz >= 0.0) & lim_ok &
            ((w - tnear * dz) * dz > 0.0))
     if tfar is not None:
         hit = hit & ((w - tfar * dz) * dz < 0.0)
@@ -475,20 +489,24 @@ def _cone_pdf_area(c, r, ref, point, n, dl, dist2):
 
 
 def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
-                  W, W_occ, tri, light, stair, sph,
-                  *, T: int, T_OCC: int, L: int, S: int, mats: tuple,
+                  W, W_occ, tri, triA, triB, qf, qf_occ, light, stair,
+                  sph,
+                  *, T: int, TC: int, T_OCC: int, L: int, S: int,
+                  mats: tuple,
                   eps_isect: float, eps_shadow: float,
                   max_depth: int, rr_depth: int, max_cap: int):
     """One path-vertex advance on plain (row, B) arrays; shared by the
     per-bounce kernel below and the fully-fused persistent megakernel
-    (path_megakernel.py). W is the host-packed (3T, 4) Woop matrix
-    (_woop_mat — Mosaic cannot re-concatenate it in-kernel); sph the
-    (S, 24) sphere table; mats the static material-type set the kernel
-    specializes on. Returns (org', dir', thr', rad', dir_pdf', prev',
-    alive)."""
+    (path_megakernel.py). W is the host-packed (3TC, 4) CAST-space Woop
+    matrix (_woop_mat — Mosaic cannot re-concatenate it in-kernel);
+    triA/triB the (40, TC) per-member attribute tables of the
+    quad-merged cast list (tri stays (40, T) for light sampling);
+    qf/qf_occ the (TC, 1)/(T_OCC, 1) quad flags; sph the (S, 24) sphere
+    table; mats the static material-type set the kernel specializes on.
+    Returns (org', dir', thr', rad', dir_pdf', prev', alive)."""
 
     # ---- closest hit: triangles + spheres ----------------------------------
-    t_tri, sel, ub, vb = _intersect(o, d, eps_isect, None, W, T)
+    t_tri, sel, ub, vb, qb = _intersect(o, d, eps_isect, None, W, TC, qf)
     if S:
         t_sph, ssel = _sphere_closest(o, d, eps_isect, sph, S)
         sph_win = t_sph < t_tri
@@ -499,7 +517,13 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
         t_best = t_tri
     valid = (t_best < INF) & act_in                       # (1, B)
     self_f = sel.astype(jnp.float32)
-    rows = _rows(self_f, tri)                             # (40, B)
+    # quad hits with u + v > 1 belong to the partner (B) triangle:
+    # attributes from triB, barycentrics remapped exactly
+    back = (qb > 0.0) & (ub + vb > 1.0)
+    rows = jnp.where(back, _rows(self_f, triB),
+                     _rows(self_f, triA))                 # (40, B)
+    ub, vb = (jnp.where(back, 1.0 - vb, ub),
+              jnp.where(back, ub + vb - 1.0, vb))
 
     # Sanitize the miss distance: an inf position would turn masked-out
     # downstream products (NaN * 0) into NaNs in the radiance rows.
@@ -697,7 +721,7 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
     sh_far = (1.0 - eps_shadow) * dist
     # occluder subset: convex-envelope tris can't block an interior
     # shadow segment (scene/compile.py fp_woop_occ — cbox drops 10 of 32)
-    occ = _occluded(sh_o, sh_d, eps_shadow, sh_far, W_occ, T_OCC)
+    occ = _occluded(sh_o, sh_d, eps_shadow, sh_far, W_occ, T_OCC, qf_occ)
     if S:
         occ = occ | _sphere_anyhit(sh_o, sh_d, eps_shadow, sh_far, sph, S)
 
@@ -752,7 +776,8 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
 
 def _kernel(org_ref, dir_ref, thr_ref, rad_ref, nv_ref, dp_ref, pp_ref,
             un_ref, act_ref,
-            woop_ref, woop_occ_ref, tri_ref, light_ref, stair_ref,
+            woop_ref, woop_occ_ref, tri_ref, triA_ref, triB_ref,
+            qf_ref, qfocc_ref, light_ref, stair_ref,
             sph_ref,
             org_o, dir_o, thr_o, rad_o, dp_o, pp_o, alive_o,
             **statics):
@@ -760,7 +785,8 @@ def _kernel(org_ref, dir_ref, thr_ref, rad_ref, nv_ref, dp_ref, pp_ref,
     org2, dir2, thr2, rad2, dp2, alive = _advance_core(
         org_ref[:], dir_ref[:], thr_ref[:], rad_ref[:], nv_ref[:],
         dp_ref[:], pp_ref[:], un_ref[:], act_in,
-        woop_ref[:], woop_occ_ref[:], tri_ref[:], light_ref[:],
+        woop_ref[:], woop_occ_ref[:], tri_ref[:], triA_ref[:],
+        triB_ref[:], qf_ref[:], qfocc_ref[:], light_ref[:],
         stair_ref[:], sph_ref[:],
         **statics)
     org_o[:] = org2
@@ -800,9 +826,10 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
     Np = N + pad
 
     S = scene.meta.num_spheres
+    TC = scene.fp_woop.shape[0]
     T_OCC = scene.fp_woop_occ.shape[0]
     kern = functools.partial(
-        _kernel, T=T, T_OCC=T_OCC, L=L, S=S,
+        _kernel, T=T, TC=TC, T_OCC=T_OCC, L=L, S=S,
         mats=scene.meta.mat_types_present,
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
@@ -820,8 +847,10 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
         in_specs=[row_spec(3), row_spec(3), row_spec(3), row_spec(3),
                   row_spec(1), row_spec(1), row_spec(3), row_spec(8),
                   row_spec(1),
-                  tab_spec((3 * T, 4)), tab_spec((3 * T_OCC, 4)),
-                  tab_spec((40, T)), tab_spec((16, L)),
+                  tab_spec((3 * TC, 4)), tab_spec((3 * T_OCC, 4)),
+                  tab_spec((40, T)), tab_spec((40, TC)),
+                  tab_spec((40, TC)), tab_spec((TC, 1)),
+                  tab_spec((T_OCC, 1)), tab_spec((16, L)),
                   tab_spec((1, T)), tab_spec((max(S, 1), 24))],
         out_specs=[row_spec(3), row_spec(3), row_spec(3), row_spec(3),
                    row_spec(1), row_spec(3), row_spec(1)],
@@ -834,7 +863,9 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
                    jax.ShapeDtypeStruct((1, Np), jnp.float32)],
     )(orgp, dirp, thrp, radp, nvp, dpp, prevp, unp, actp,
       _woop_mat(scene.fp_woop), _woop_mat(scene.fp_woop_occ),
-      scene.fp_tri, scene.fp_light,
+      scene.fp_tri, scene.fp_tri[:, scene.cast_src],
+      scene.fp_tri[:, scene.cast_alt], scene.cast_quad[:, None],
+      scene.cast_occ_quad[:, None], scene.fp_light,
       scene.tri_stair_cdf[None, :], scene.fp_sph)
     org2, dir2, thr2, rad2, dp2, pp2, alive = outs
     return (org2[:, :N], dir2[:, :N], thr2[:, :N], rad2[:, :N],

@@ -103,6 +103,7 @@ def _primary(item, px, py, su, cam, *, w, h, filter_type, filter_param):
 
 
 def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, woop_occ_ref, tri_ref,
+            triA_ref, triB_ref, qf_ref, qfocc_ref,
             light_ref, stair_ref, sph_ref, film_o, *, n, w, h, nspp,
             filter_type, filter_param, **statics):
     su = seed_ref[0]                  # uint32 scalar
@@ -117,6 +118,10 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, woop_occ_ref, tri_ref,
     woop = woop_ref[:]
     woop_occ = woop_occ_ref[:]
     tri = tri_ref[:]
+    triA = triA_ref[:]
+    triB = triB_ref[:]
+    qf = qf_ref[:]
+    qf_occ = qfocc_ref[:]
     light = light_ref[:]
     stair = stair_ref[:]
     sph = sph_ref[:]
@@ -149,7 +154,8 @@ def _kernel(seed_ref, s0_ref, cam_ref, woop_ref, woop_occ_ref, tri_ref,
         un = _u01(_pcg_hash(hb + kidx))           # (8, B)
         org2, d2, thr2, rad2, dp2, alive = _advance_core(
             org, d, thr, rad, nv.astype(jnp.float32), dir_pdf, prev, un,
-            act, woop, woop_occ, tri, light, stair, sph, **statics)
+            act, woop, woop_occ, tri, triA, triB, qf, qf_occ, light,
+            stair, sph, **statics)
         died = act & ~alive
         # NaN/Inf exclusion on the splat (render.cpp:140-143): one
         # non-finite path must not poison its pixel for the whole launch.
@@ -194,11 +200,13 @@ def render_fused(scene, options, seed, s0, nspp):
                            scene.cam_to_world.reshape(-1)]).astype(
                                jnp.float32)
     S = scene.meta.num_spheres
+    TC = scene.fp_woop.shape[0]
     T_OCC = scene.fp_woop_occ.shape[0]
     kern = functools.partial(
         _kernel, n=n, w=w, h=h, nspp=nspp,
         filter_type=options.filter_type, filter_param=options.filter_param,
-        T=T, T_OCC=T_OCC, L=L, S=S, mats=scene.meta.mat_types_present,
+        T=T, TC=TC, T_OCC=T_OCC, L=L, S=S,
+        mats=scene.meta.mat_types_present,
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
         max_depth=options.max_depth, rr_depth=options.rr_depth,
@@ -211,7 +219,9 @@ def render_fused(scene, options, seed, s0, nspp):
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tab((3 * T, 4)), tab((3 * T_OCC, 4)), tab((40, T)),
+                  tab((3 * TC, 4)), tab((3 * T_OCC, 4)), tab((40, T)),
+                  tab((40, TC)), tab((40, TC)), tab((TC, 1)),
+                  tab((T_OCC, 1)),
                   tab((16, L)), tab((1, T)),
                   tab((max(S, 1), 24))],
         out_specs=pl.BlockSpec((3, BLOCK), lambda i: (0, i),
@@ -220,5 +230,7 @@ def render_fused(scene, options, seed, s0, nspp):
         interpret=INTERPRET,
     )(seed_a, s0_a, cam, _woop_mat(scene.fp_woop),
       _woop_mat(scene.fp_woop_occ), scene.fp_tri,
+      scene.fp_tri[:, scene.cast_src], scene.fp_tri[:, scene.cast_alt],
+      scene.cast_quad[:, None], scene.cast_occ_quad[:, None],
       scene.fp_light, scene.tri_stair_cdf[None, :], scene.fp_sph)
     return film.T.reshape(h, w, 3)

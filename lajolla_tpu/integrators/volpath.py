@@ -149,13 +149,20 @@ def _majorant_segment(scene, row, org, d, t_cur, t_hit):
     cell = jnp.clip((pn * sresf).astype(jnp.int32), 0, sres - 1)
     clo = pmin + cell.astype(jnp.float32) / sresf * (pmax - pmin)
     chi = pmin + (cell + 1).astype(jnp.float32) / sresf * (pmax - pmin)
-    tcn = (clo - org) / safe_d
-    tcf = (chi - org) / safe_d
-    t_exit = jnp.min(jnp.maximum(tcn, tcf))
     gx, gy = sres[0], sres[1]
     idx = row[MT_SOFF].astype(jnp.int32) + \
         (cell[2] * gy + cell[1]) * gx + cell[0]
-    maj_cell = scene.svox_data[idx]
+    rowd = scene.svox_data[idx]         # (4,): majorant rgb | empty-skip
+    maj_cell = rowd[:3]
+    # empty-space skip (compile.py _empty_skip): a zero-majorant cell
+    # with skip = s has no occupied supervoxel within L-inf distance
+    # s-1, so the zero segment extends to the exit of the cell box
+    # expanded by s-1 cells — one DDA step per empty RUN, not per cell.
+    # Free: the skip rides the same wide-row gather as the majorant.
+    ex = jnp.maximum(rowd[3] - 1.0, 0.0) / sresf * (pmax - pmin)
+    tcn = (clo - ex - org) / safe_d
+    tcf = (chi + ex - org) / safe_d
+    t_exit = jnp.min(jnp.maximum(tcn, tcf))
 
     before = t_cur < t0
     after = t_cur >= t1

@@ -82,9 +82,15 @@ def _brute_force_scalar(scene, o, d, tnear, tfar):
 
 def _brute_force_batched(scene, o, d, tnear, tfar):
     """MXU formulation: Woop unit-triangle transforms turn the ray set-up
-    into two (N,3)x(3,3T) matmuls, then cheap elementwise resolve.
-    o, d: (N,3); tnear/tfar: (N,) or scalar. Exact fp32 (HIGHEST)."""
-    T = scene.tri_p0.shape[0]
+    into two (N,3)x(3,3Tc) matmuls, then cheap elementwise resolve.
+    o, d: (N,3); tnear/tfar: (N,) or scalar. Exact fp32 (HIGHEST).
+
+    Operates on the quad-merged CAST table (scene/compile.py
+    _merge_parallelograms): prims flagged in cast_quad accept the full
+    parallelogram max(u, v) <= 1; a hit with u + v > 1 lies in the
+    partner triangle and maps exactly to its barycentrics
+    (u', v') = (1 - v, u + v - 1)."""
+    T = scene.tri_woop_A.shape[1] // 3
     hp = jax.lax.Precision.HIGHEST
     op = jnp.dot(o, scene.tri_woop_A, precision=hp) + scene.tri_woop_b
     dp = jnp.dot(d, scene.tri_woop_A, precision=hp)
@@ -98,16 +104,23 @@ def _brute_force_batched(scene, o, d, tnear, tfar):
         tnear = tnear[:, None]
     if jnp.ndim(tfar) == 1:
         tfar = tfar[:, None]
+    lim = jnp.where(scene.cast_quad[None, :] > 0,
+                    1.0 - jnp.maximum(u, v), 1.0 - u - v)
     hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
-           (u + v <= 1.0) & (t > tnear) & (t < tfar))
+           (lim >= 0.0) & (t > tnear) & (t < tfar))
     t = jnp.where(hit, t, INF)
     i = jnp.argmin(t, axis=1)
     rows = jnp.arange(o.shape[0])
     t_best = t[rows, i]
     miss = t_best == INF
+    ui, vi = u[rows, i], v[rows, i]
+    back = (scene.cast_quad[i] > 0) & (ui + vi > 1.0)
+    prim = jnp.where(back, scene.cast_alt[i], scene.cast_src[i])
+    ur = jnp.where(back, 1.0 - vi, ui)
+    vr = jnp.where(back, ui + vi - 1.0, vi)
     return (jnp.where(miss, INF, t_best),
-            jnp.where(miss, -1, i).astype(jnp.int32),
-            u[rows, i], v[rows, i])
+            jnp.where(miss, -1, prim).astype(jnp.int32),
+            ur, vr)
 
 
 def _occluded_batched(scene, o, d, tnear, tfar):
@@ -124,8 +137,10 @@ def _occluded_batched(scene, o, d, tnear, tfar):
     t = -oz / safe_dz
     u = ox + t * dx
     v = oy + t * dy
+    lim = jnp.where(scene.cast_occ_quad[None, :] > 0,
+                    1.0 - jnp.maximum(u, v), 1.0 - u - v)
     hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
-           (u + v <= 1.0) & (t > tnear[:, None]) & (t < tfar[:, None]))
+           (lim >= 0.0) & (t > tnear[:, None]) & (t < tfar[:, None]))
     return hit.any(axis=1)
 
 

@@ -27,9 +27,13 @@ BLOCK_B = 4096
 
 
 def _kernel(o_ref, d_ref, tn_ref, tf_ref, Ax_ref, Ay_ref, Az_ref,
-            t_ref, prim_ref, u_ref, v_ref, *, T: int, want_uv: bool):
+            qf_ref, t_ref, prim_ref, u_ref, v_ref, *, T: int,
+            want_uv: bool):
     # o/d: (B, 3) transposed IN-KERNEL to (3, B); tn/tf: (1, B);
-    # A{x,y,z}: (T, 4) rows [a0 a1 a2 bias]
+    # A{x,y,z}: (T, 4) rows [a0 a1 a2 bias]; qf: (T, 1) quad flags
+    # (flagged cast prims accept the parallelogram max(u, v) <= 1;
+    # scene/compile.py _merge_parallelograms — the host wrapper remaps
+    # u + v > 1 hits to the partner triangle)
     o = o_ref[:].T
     d = d_ref[:].T
     tnear = tn_ref[:]         # (1, B)
@@ -54,8 +58,10 @@ def _kernel(o_ref, d_ref, tn_ref, tf_ref, Ax_ref, Ay_ref, Az_ref,
     oy = contract(Ay, o, True)
     dy = contract(Ay, d, False)
     v = oy + t * dy
+    lim = jnp.where(qf_ref[:] > 0.0, 1.0 - jnp.maximum(u, v),
+                    1.0 - u - v)
     hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
-           (u + v <= 1.0) & (t > tnear) & (t < tfar))
+           (lim >= 0.0) & (t > tnear) & (t < tfar))
     t = jnp.where(hit, t, INF)
     t_best = jnp.min(t, axis=0)                    # (B,)
     miss = t_best == INF
@@ -90,6 +96,7 @@ def _call(scene, o, d, tnear, tfar, want_uv, occ_only=False):
     # are only valid as a hit/miss boolean.
     A = scene.tri_woop_A_occ if occ_only else scene.tri_woop_A
     b = scene.tri_woop_b_occ if occ_only else scene.tri_woop_b
+    qf = scene.cast_occ_quad if occ_only else scene.cast_quad
     T = A.shape[1] // 3
     Ax = jnp.concatenate([A[:, :T].T, b[:T, None]], axis=1)
     Ay = jnp.concatenate([A[:, T:2 * T].T, b[T:2 * T, None]], axis=1)
@@ -112,6 +119,7 @@ def _call(scene, o, d, tnear, tfar, want_uv, occ_only=False):
             pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((T, 4), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 1), full, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, BLOCK_B), blk, memory_space=pltpu.VMEM),
@@ -125,13 +133,22 @@ def _call(scene, o, d, tnear, tfar, want_uv, occ_only=False):
             jax.ShapeDtypeStruct((1, Np), jnp.float32),
             jax.ShapeDtypeStruct((1, Np), jnp.float32),
         ],
-    )(o, d, tn2, tf2, Ax, Ay, Az)
+    )(o, d, tn2, tf2, Ax, Ay, Az, qf[:, None])
     return (t[0, :N], prim[0, :N], u[0, :N], v[0, :N])
 
 
 def intersect_brute_pallas(scene, o, d, tnear, tfar):
-    """o, d: (N,3); tnear/tfar: (N,). Returns (t, prim, u, v) each (N,)."""
-    return _call(scene, o, d, tnear, tfar, want_uv=True)
+    """o, d: (N,3); tnear/tfar: (N,). Returns (t, prim, u, v) each (N,)
+    — prim in TRUE triangle ids (quad cast hits with u + v > 1 remap to
+    the partner triangle, barycentrics included)."""
+    t, ci, u, v = _call(scene, o, d, tnear, tfar, want_uv=True)
+    c = jnp.maximum(ci, 0)
+    back = (scene.cast_quad[c] > 0) & (u + v > 1.0)
+    prim = jnp.where(back, scene.cast_alt[c], scene.cast_src[c])
+    prim = jnp.where(ci < 0, -1, prim).astype(jnp.int32)
+    ur = jnp.where(back, 1.0 - v, u)
+    vr = jnp.where(back, u + v - 1.0, v)
+    return t, prim, ur, vr
 
 
 def occluded_brute_pallas(scene, o, d, tnear, tfar):

@@ -49,6 +49,77 @@ def _i32(x):
     return jnp.asarray(np.asarray(x, np.int32))
 
 
+def _merge_parallelograms(vertices, indices, num_tris):
+    """Detect triangle pairs tiling an exact parallelogram and reorder
+    them in place to the canonical quad split: A = (p0, p1, p2) with the
+    shared edge as (p1, p2), B = (p2, p1, p3), p3 = p1 + p2 - p0.
+
+    Returns (alt, consumed): alt[i] = partner id for a rep triangle
+    (== i when unpaired), consumed[i] = True for triangles absorbed as
+    a rep's B half. Pairing requires a shared vertex-index edge, same
+    winding orientation, and |p3_predicted - p3_stored| <= 1e-9 x the
+    mesh bounding-box diagonal (f64 — true authored parallelograms
+    match to ~1e-12 relative; anything else differs by orders more)."""
+    alt = np.arange(max(num_tris, 1), dtype=np.int32)
+    consumed = np.zeros(max(num_tris, 1), bool)
+    # only the dense brute-family casters consume the cast tables, and
+    # they only serve small scenes (use_binned scenes go through the
+    # cluster sweep) — skip the host-side edge walk for big meshes
+    if num_tris < 2 or num_tris > 4096:
+        return alt, consumed
+    P = vertices
+    p0 = P[indices[:, 0]]
+    n = np.cross(P[indices[:, 1]] - p0, P[indices[:, 2]] - p0)
+    area2 = np.linalg.norm(n, axis=1)
+    ext = P[indices.reshape(-1)]
+    tol = 1e-9 * max(float(np.linalg.norm(ext.max(0) - ext.min(0))), 1e-9)
+    # canonical POSITION ids for edge matching: loaders duplicate
+    # vertices when per-face normals/uvs differ (.serialized, OBJ with
+    # split attributes), which would hide every shared edge from an
+    # index-based match. Exact f64 byte equality only.
+    pos_id = {}
+    canon = np.empty(P.shape[0], np.int64)
+    for vi in range(P.shape[0]):
+        canon[vi] = pos_id.setdefault(P[vi].tobytes(), vi)
+    from collections import defaultdict
+    edges = defaultdict(list)
+    for t in range(num_tris):
+        i0, i1, i2 = (int(canon[indices[t, 0]]), int(canon[indices[t, 1]]),
+                      int(canon[indices[t, 2]]))
+        for k, (a, c) in enumerate(((i1, i2), (i2, i0), (i0, i1))):
+            edges[(min(a, c), max(a, c))].append((t, k))
+    for lst in edges.values():
+        if len(lst) != 2:
+            continue
+        (ta, ka), (tb, kb) = lst
+        if consumed[ta] or consumed[tb] or alt[ta] != ta or alt[tb] != tb:
+            continue
+        if area2[ta] <= 0.0 or area2[tb] <= 0.0:
+            continue
+        if np.dot(n[ta], n[tb]) <= 0.0:
+            continue
+        ia, ib = indices[ta], indices[tb]
+        a0 = int(ia[ka])
+        d1, d2 = int(ia[(ka + 1) % 3]), int(ia[(ka + 2) % 3])
+        b3 = int(ib[kb])
+        if np.abs(P[d1] + P[d2] - P[a0] - P[b3]).max() > tol:
+            continue
+        # B keeps its OWN vertex indices (its normals/uvs) at the
+        # shared corners, matched to A's diagonal by canonical position
+        bb1, bb2 = int(ib[(kb + 1) % 3]), int(ib[(kb + 2) % 3])
+        if canon[bb1] == canon[d1]:
+            b_d1, b_d2 = bb1, bb2
+        else:
+            b_d1, b_d2 = bb2, bb1
+        if canon[b_d1] != canon[d1] or canon[b_d2] != canon[d2]:
+            continue
+        indices[ta] = (a0, d1, d2)       # cyclic rotation: parity kept
+        indices[tb] = (b_d2, b_d1, b3)   # normal = +n_A = B's own normal
+        alt[ta] = tb
+        consumed[tb] = True
+    return alt, consumed
+
+
 def compile_scene(b):
     # ------------------------------------------------------------------ geometry
     verts, norms, uvs, tris, tri_shape = [], [], [], [], []
@@ -93,6 +164,27 @@ def compile_scene(b):
         tri_shape = np.full(1, -1, np.int32)
 
     num_tris = indices.shape[0] if verts else 0
+
+    # ------------------------------------------- quad (parallelogram) merging
+    # Triangle pairs that tile an exact parallelogram become ONE cast
+    # primitive for the dense casters: rep triangle A is rotated to
+    # (p0 off-diagonal | p1, p2 diagonal), partner B is reordered to
+    # (p2, p1, p3) with p3 = p1 + p2 - p0. A's Woop transform then covers
+    # the whole parallelogram with acceptance max(u, v) <= 1, and a hit
+    # with u + v > 1 maps EXACTLY to B's barycentrics (1 - v, u + v - 1).
+    # Halves dense tri-tests on quad-built meshes (cbox walls/boxes,
+    # veach plates). Reorders are parity-preserving (A: cyclic rotation;
+    # B: checked same-normal), so geometric normals, one-sided emission
+    # and area sampling are untouched — only the (u, v) parameterization
+    # rotates, consistently with the reported barycentrics. No reference
+    # analogue (Embree tests raw triangles, src/intersection.cpp:32).
+    quad_alt, quad_consumed = _merge_parallelograms(vertices, indices,
+                                                    num_tris)
+    cast_src = np.nonzero(~quad_consumed)[0].astype(np.int32)
+    if cast_src.size == 0:
+        cast_src = np.zeros(1, np.int32)
+    cast_alt = quad_alt[cast_src].astype(np.int32)
+
     p0 = vertices[indices[:, 0]]
     e1 = vertices[indices[:, 1]] - p0
     e2 = vertices[indices[:, 2]] - p0
@@ -191,6 +283,15 @@ def compile_scene(b):
         # degenerate triangles: zero transform → d'_z = 0 → no hit
         woop_A[:, np.tile(~ok, 3)] = 0.0
         woop_b[np.tile(~ok, 3)] = 0.0
+
+    # cast-space (quad-merged) tables for the dense casters: the Woop
+    # rows of the rep triangles; a cast prim with cast_alt != cast_src
+    # accepts max(u, v) <= 1 (the full parallelogram) and remaps
+    # u + v > 1 hits to the partner triangle
+    ccol = np.concatenate([cast_src, cast_src + nt_, cast_src + 2 * nt_])
+    cast_woop_A = woop_A[:, ccol]
+    cast_woop_b = woop_b[ccol]
+    cast_quad = (cast_alt != cast_src).astype(np.float32)
 
     # ------------------------------------------------------------------ bounds
     pts = [vertices] if verts else []
@@ -393,6 +494,34 @@ def compile_scene(b):
             out = np.concatenate(chunks, axis=axis)
         return out  # (gz, gy, gx, 3)
 
+    def _empty_skip(sv):
+        """Chebyshev distance-to-occupied over the supervoxel grid.
+        A cell with skip = s > 0 has NO nonzero-majorant supervoxel
+        within L-inf distance s-1, so a free flight sitting in it may
+        advance to the exit of its cell box expanded by s-1 cells per
+        axis as ONE zero-majorant segment (volpath._majorant_segment)
+        instead of one DDA step per empty cell. 0 on occupied cells.
+        Compile-time empty-space skipping; no reference equivalent
+        (the reference tracks under one global majorant,
+        media/heterogeneous.inl:3-11)."""
+        occ = sv.max(axis=-1) > 0
+        gz, gy, gx = occ.shape
+        big = 10 ** 6
+        dist = np.where(occ, 0, big).astype(np.int64)
+        for _ in range(max(gz, gy, gx)):
+            p = np.pad(dist, 1, constant_values=big)
+            m = dist
+            for dz in range(3):
+                for dy in range(3):
+                    for dx in range(3):
+                        m = np.minimum(m, p[dz:dz + gz, dy:dy + gy,
+                                            dx:dx + gx] + 1)
+            m = np.where(occ, 0, m)
+            if (m == dist).all():
+                break
+            dist = m
+        return np.minimum(dist, 255).astype(np.float32)
+
     nv = max(len(b.volumes), 1)
     vol_kind = np.zeros(nv, np.int32)
     vol_const = np.zeros((nv, 3))
@@ -447,14 +576,16 @@ def compile_scene(b):
             sv = _super_majorants(g, gres) * v.scale
             svox_offset[i] = soff
             svox_res[i] = gres
-            schunks.append(sv.reshape(-1, 3))
+            skip = _empty_skip(sv)
+            schunks.append(np.concatenate(
+                [sv.reshape(-1, 3), skip.reshape(-1, 1)], axis=-1))
             soff += gres[0] * gres[1] * gres[2]
         else:
             vol_maxval[i] = vol_const[i]
     volume_data = (np.concatenate(vchunks) if vchunks
                    else np.zeros((1, 24))).astype(np.float32)
     svox_data = (np.concatenate(schunks) if schunks
-                 else np.zeros((1, 3))).astype(np.float32)
+                 else np.zeros((1, 4))).astype(np.float32)
 
     # layout documented in media.py (MT_*/VL_* constants)
     med_tab = np.zeros((nmed, 46), np.float32)
@@ -551,6 +682,9 @@ def compile_scene(b):
         fp_woop[:, 7] = woop_b[Tn:2 * Tn]
         fp_woop[:, 8:11] = woop_A[:, 2 * Tn:].T
         fp_woop[:, 11] = woop_b[2 * Tn:]
+        # quad-merged cast rows for the fused kernels (same cast list
+        # and order as the generic brute tables above)
+        fp_woop = fp_woop[cast_src]
         fp_tri[0:3] = p0.T
         fp_tri[3:6] = e1.T
         fp_tri[6:9] = e2.T
@@ -614,6 +748,7 @@ def compile_scene(b):
     # (vol_path_tracing.h:335-439). cbox: the 5 room walls (10 of 32
     # tris) drop out of every occlusion sweep.
     fp_woop_occ = fp_woop
+    cast_occ_quad = cast_quad
     if 0 < num_tris <= 4096 and not (b.envmap_light_id >= 0) \
             and not b.media:
         nrm = np.cross(e1, e2)
@@ -634,19 +769,25 @@ def compile_scene(b):
         hull = ok_n & ((smax <= eps_h) | (smin >= -eps_h))
         # degenerate tris never hit anything either
         occ = ~hull & ok_n
-        fp_woop_occ = fp_woop[occ] if occ.any() \
-            else np.zeros((1, 12), np.float32)
-        # same subset in the brute-caster layout (columns grouped by
-        # output row, [x | y | z])
-        t_occ = np.nonzero(occ)[0] if occ.any() else np.zeros(1, np.int64)
-        col = np.concatenate([t_occ, t_occ + num_tris,
-                              t_occ + 2 * num_tris])
-        woop_A_occ = woop_A[:, col] if occ.any() \
-            else np.zeros((3, 3), np.float32)
-        woop_b_occ = woop_b[col] if occ.any() \
-            else np.zeros(3, np.float32)
+        # cast space: a quad prim occludes if EITHER member does (the
+        # envelope argument applies per member triangle)
+        occ_c = occ[cast_src] | occ[cast_alt]
+        if occ_c.any():
+            Tc = cast_src.shape[0]
+            col = np.concatenate([np.nonzero(occ_c)[0],
+                                  np.nonzero(occ_c)[0] + Tc,
+                                  np.nonzero(occ_c)[0] + 2 * Tc])
+            woop_A_occ = cast_woop_A[:, col]
+            woop_b_occ = cast_woop_b[col]
+            fp_woop_occ = fp_woop[occ_c]
+            cast_occ_quad = cast_quad[occ_c]
+        else:
+            woop_A_occ = np.zeros((3, 3), np.float32)
+            woop_b_occ = np.zeros(3, np.float32)
+            fp_woop_occ = np.zeros((1, 12), np.float32)
+            cast_occ_quad = np.zeros(1, np.float32)
     else:
-        woop_A_occ, woop_b_occ = woop_A, woop_b
+        woop_A_occ, woop_b_occ = cast_woop_A, cast_woop_b
 
     # ------------------------------------------------------------------ camera
     cam = b.camera
@@ -701,14 +842,17 @@ def compile_scene(b):
                                      T.MAT_DISNEY_BSDF)
                           for m in b.materials),
         has_grid_volumes=any(v.kind == T.VOL_GRID for v in b.volumes),
+        has_quads=bool((cast_alt != cast_src).any()),
     )
 
     return Scene(
         vertices=_f32(vertices), normals=_f32(normals), uvs=_f32(uv_arr),
         indices=_i32(indices), tri_shape=_i32(tri_shape),
         tri_p0=_f32(p0), tri_e1=_f32(e1), tri_e2=_f32(e2),
-        tri_woop_A=_f32(woop_A), tri_woop_b=_f32(woop_b),
+        tri_woop_A=_f32(cast_woop_A), tri_woop_b=_f32(cast_woop_b),
         tri_woop_A_occ=_f32(woop_A_occ), tri_woop_b_occ=_f32(woop_b_occ),
+        cast_src=_i32(cast_src), cast_alt=_i32(cast_alt),
+        cast_quad=_f32(cast_quad), cast_occ_quad=_f32(cast_occ_quad),
         sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
         sph_shape=_i32(sph_shape),
         bvh_lo=_f32(bvh['lo']), bvh_hi=_f32(bvh['hi']),

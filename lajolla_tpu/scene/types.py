@@ -120,6 +120,7 @@ class SceneMeta:
     needs_tangent: bool = True   # anisotropy-capable materials present
     has_grid_volumes: bool = False
     use_binned: bool = False     # binned two-level intersector
+    has_quads: bool = False      # any parallelogram-merged cast prims
 
 
 @dataclass(frozen=True)
@@ -148,10 +149,14 @@ class Scene:
     tri_p0: Any          # (T,3) f32 precomputed for Moller-Trumbore
     tri_e1: Any          # (T,3) f32 v1 - v0
     tri_e2: Any          # (T,3) f32 v2 - v0
-    tri_woop_A: Any      # (3, 3T) f32 Woop unit-triangle transforms (MXU path)
-    tri_woop_b: Any      # (3T,) f32
+    tri_woop_A: Any      # (3, 3Tc) f32 Woop transforms, CAST space (quad-merged)
+    tri_woop_b: Any      # (3Tc,) f32
     tri_woop_A_occ: Any  # (3, 3T_occ) f32 occluder subset (see fp_woop_occ)
     tri_woop_b_occ: Any  # (3T_occ,) f32
+    cast_src: Any        # (Tc,) i32 rep triangle id per cast prim
+    cast_alt: Any        # (Tc,) i32 partner tri id (== cast_src if no quad)
+    cast_quad: Any       # (Tc,) f32 1.0 where the cast prim is a quad
+    cast_occ_quad: Any   # (T_occ,) f32 quad flags of the occluder subset
     sph_center: Any      # (S,3) f32
     sph_radius: Any      # (S,) f32
     sph_shape: Any       # (S,) i32
@@ -179,7 +184,7 @@ class Scene:
     sw_saabb: Any        # (K/G, 8) f32 supercluster AABBs (sweep gate)
 
     # --- diffuse fast-path tables (integrators/path_kernel.py) --------------
-    fp_woop: Any         # (T, 12) f32 [Ax(4) Ay(4) Az(4)]
+    fp_woop: Any         # (Tc, 12) f32 [Ax(4) Ay(4) Az(4)], CAST space
     fp_woop_occ: Any     # (T_occ, 12) f32 occluder subset: tris NOT on the
                          # scene's convex envelope (an envelope tri can
                          # never block a shadow segment between two
@@ -257,7 +262,7 @@ class Scene:
     volume_data: Any     # (TOTALV,24) f32 octo-packed cell corners (compile.py)
     svox_offset: Any     # (NV,) i32 into svox_data
     svox_res: Any        # (NV,3) i32 supervoxel majorant grid (gx,gy,gz)
-    svox_data: Any       # (TOTS,3) f32 conservative per-supervoxel majorants
+    svox_data: Any       # (TOTS,4) f32 per-supervoxel majorant rgb | empty-skip dist
     med_tab: Any         # (NM,16) f32 wide medium row (see compile.py)
 
     # --- merged wide-row tables (see scene/soa.py) ----------------------------

@@ -92,8 +92,29 @@ def test_supervoxel_majorant_conservative(hetvol_scene):
     pn = (pts - pmin) / (pmax - pmin)
     cell = np.clip((pn * sres).astype(np.int64), 0, sres - 1)
     idx = soff + (cell[:, 2] * sres[1] + cell[:, 1]) * sres[0] + cell[:, 0]
-    maj = svox[idx]
+    maj = svox[idx][:, :3]
     assert (dens <= maj + 1e-4).all()
+
+
+def test_empty_skip_sound(hetvol_scene):
+    """The empty-skip channel (scene/compile.py _empty_skip) is sound:
+    a cell with skip = s > 0 must be empty itself and have NO occupied
+    supervoxel within Chebyshev distance s-1 — the invariant
+    volpath._majorant_segment's expanded-box exit relies on."""
+    sc = hetvol_scene
+    dvol = int(sc.med_density_vol[0])
+    gx, gy, gz = np.asarray(sc.svox_res[dvol])
+    soff = int(sc.svox_offset[dvol])
+    rows = np.asarray(sc.svox_data)[soff:soff + gx * gy * gz]
+    occ = (rows[:, :3].max(axis=1) > 0).reshape(gz, gy, gx)
+    skip = rows[:, 3].reshape(gz, gy, gx)
+    assert skip.max() >= 1          # hetvol's grid has empty space
+    assert (skip[occ] == 0).all()
+    for (z, y, x) in np.argwhere(skip >= 1):
+        s = int(skip[z, y, x])
+        nb = occ[max(z - s + 1, 0):z + s, max(y - s + 1, 0):y + s,
+                 max(x - s + 1, 0):x + s]
+        assert not nb.any(), (z, y, x, s)
 
 
 def test_ratio_tracking_transmittance_unbiased(hetvol_scene):

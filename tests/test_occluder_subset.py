@@ -29,7 +29,8 @@ def _occluded_full(scene, o, d, tnear, tfar):
     """Same arithmetic as _occluded_batched, over the FULL woop table."""
     import types as _t
     full = _t.SimpleNamespace(tri_woop_A_occ=scene.tri_woop_A,
-                              tri_woop_b_occ=scene.tri_woop_b)
+                              tri_woop_b_occ=scene.tri_woop_b,
+                              cast_occ_quad=scene.cast_quad)
     return _occluded_batched(full, o, d, tnear, tfar)
 
 

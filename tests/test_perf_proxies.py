@@ -126,6 +126,7 @@ def test_sweep_cull_rate_matpreview(matpreview):
 def test_hetvol_null_collision_rounds():
     """Delta-tracking rounds per free flight on hetvol rays inside the
     grid medium, under the supervoxel majorants: measured r4 mean 11.0,
+    then 9.62 with the empty-skip channel (compile.py _empty_skip),
     max 31 (global-majorant tracking measured ~20x more in round 2 —
     this pin protects that win). Lockstep cost of the vmapped loop is
     the batch MAX, so both moments are gated."""
@@ -153,6 +154,6 @@ def test_hetvol_null_collision_rounds():
     *_rest, sc, _at, rounds = ff(hs[inside], o2[inside], d[inside],
                                  th[inside], med[inside])
     r = np.asarray(rounds)
-    assert r.mean() <= 11.02 * 1.10, (r.mean(), r.max())
+    assert r.mean() <= 9.62 * 1.10, (r.mean(), r.max())
     assert r.max() <= 31 * 1.3, (r.mean(), r.max())
     assert float(np.asarray(sc).mean()) > 0.05   # sanity: flights scatter
