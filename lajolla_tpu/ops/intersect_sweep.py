@@ -55,10 +55,21 @@ BLOCK_R = 1024           # rays per streaming block (lane dim)
 LANE_R = 512             # rays per list-driven block (SUBLANE dim)
 GROUP = 8                # clusters per supercluster
 RESIDENT_BYTES = 8 << 20  # whole Woop table VMEM-resident below this
-LIST_B = 128             # rays per block for the resident kernel:
-                         # fine blocks cut block-granular cull waste
-                         # (measured on matpreview bounce rays: 7.8x
-                         # over the per-ray ideal vs 17x at 512)
+LIST_B = 512             # rays per block for the resident kernel.
+                         # 128 minimized LISTED clusters per ray (the
+                         # pre-break metric: block unions grow with B),
+                         # but with the front-to-back break + the
+                         # supercluster overflow fallback the EXECUTED
+                         # work favors big blocks: the union saturates
+                         # (sublinear in B) while per-entry bookkeeping
+                         # amortizes over 4x the rays. Break-faithful
+                         # simulation on real bounce + NEE rays
+                         # (/root/work/blocksize_grid.py, r4):
+                         # executed clusters per 128 rays 222 -> 114
+                         # (matpreview closest), 210 -> 97 (any-hit),
+                         # 99 -> 82 (sponza), with entries/128-rays
+                         # down 4x. Gated by the per-128-ray proxy pins
+                         # in tests/test_perf_proxies.py.
 LIST_LEN = 192           # per-block worklist capacity (overflow ->
                          # full-K sweep for that block; keeps the SMEM
                          # prefetch footprint at R*LIST_LEN words)
