@@ -152,7 +152,13 @@ def _majorant_segment(scene, row, org, d, t_cur, t_hit):
     gx, gy = sres[0], sres[1]
     idx = row[MT_SOFF].astype(jnp.int32) + \
         (cell[2] * gy + cell[1]) * gx + cell[0]
-    rowd = scene.svox_data[idx]         # (4,): majorant rgb | empty-skip
+    # (4,): majorant rgb | empty-skip. This gather runs once per
+    # tracking iteration per lane — the event machine's hottest lookup.
+    # compile_scene sizes the supervoxel grid to fit fast_gather's
+    # one-hot MXU bound when it can (compile.py svox_div), turning the
+    # ~10 ns/lane dynamic gather into a (B,rows)x(rows,4) matmul.
+    from lajolla_tpu.ops.gather import fast_gather
+    rowd = fast_gather(scene.svox_data, idx)
     maj_cell = rowd[:3]
     # empty-space skip (compile.py _empty_skip): a zero-majorant cell
     # with skip = s has no occupied supervoxel within L-inf distance

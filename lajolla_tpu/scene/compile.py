@@ -21,8 +21,15 @@ BVH_MIN_TRIS = 192
 
 # Supervoxel majorant cells cover ~this many fine voxels per axis: the
 # optimum balances DDA crossing count against majorant tightness
-# (swept on hetvol: 8 is ~25% over 4; 16 is within noise of 8).
+# (swept on hetvol: 8 is ~25% over 4; 16 is within noise of 8 — mean
+# delta-tracking rounds 9.36 vs ~9.3). Because 16 costs nothing in
+# rounds, compile_scene doubles the divisor up to SVOX_DIVISOR_MAX when
+# that brings the TOTAL supervoxel row count under the one-hot MXU
+# gather bound (ops/gather.py ONEHOT_LIMIT): the per-lane svox lookup in
+# volpath._majorant_segment runs every tracking iteration, and a ~10
+# ns/lane dynamic gather there becomes a cheap (B,rows)x(rows,4) matmul.
 SVOX_DIVISOR = 8
+SVOX_DIVISOR_MAX = 16
 
 
 def fov_to_fov_x(fov, fov_axis, width, height):
@@ -522,6 +529,27 @@ def compile_scene(b):
             dist = m
         return np.minimum(dist, 255).astype(np.float32)
 
+    def _svox_rows_at(div):
+        tot = 0
+        for v in b.volumes:
+            if v.kind == T.VOL_GRID:
+                z, y, x = v.grid.shape[:3]
+                tot += int(np.prod([np.clip((r - 1 + div - 1) // div,
+                                            1, 32) for r in (x, y, z)]))
+        return tot
+
+    # smallest divisor (>= SVOX_DIVISOR, <= SVOX_DIVISOR_MAX) whose total
+    # supervoxel row count fits the one-hot MXU gather bound; plain
+    # SVOX_DIVISOR when even the max divisor doesn't fit (the gather
+    # path costs the same at any size, so tighter majorants win then).
+    from lajolla_tpu.ops.gather import ONEHOT_LIMIT
+    svox_div = SVOX_DIVISOR
+    while (_svox_rows_at(svox_div) > ONEHOT_LIMIT and
+           svox_div < SVOX_DIVISOR_MAX):
+        svox_div *= 2
+    if _svox_rows_at(svox_div) > ONEHOT_LIMIT:
+        svox_div = SVOX_DIVISOR
+
     nv = max(len(b.volumes), 1)
     vol_kind = np.zeros(nv, np.int32)
     vol_const = np.zeros((nv, 3))
@@ -570,7 +598,7 @@ def compile_scene(b):
             ], axis=-1)
             vchunks.append(oct_.reshape(-1, 24))
             voff += x * y * z
-            div = SVOX_DIVISOR
+            div = svox_div
             gres = tuple(int(np.clip((r - 1 + div - 1) // div, 1, 32))
                          for r in (x, y, z))
             sv = _super_majorants(g, gres) * v.scale
