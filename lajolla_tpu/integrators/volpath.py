@@ -113,24 +113,32 @@ def _sigmas(scene, row, p):
 
 def _majorant_segment(scene, row, org, d, t_cur, t_hit):
     """Piecewise-constant majorant along the ray: the (3,) majorant that
-    bounds sigma_t over [t_cur, t_end), and t_end itself. `row` is the
-    prefetched wide medium row (media.med_row).
+    bounds sigma_t over [t_cur, t_end), a (3,) CONTROL sigma_c <= sigma_t
+    over the same span, and t_end itself. `row` is the prefetched wide
+    medium row (media.med_row).
 
-    Homogeneous media: (sigma_a + sigma_s, t_hit) — one segment, exactly
-    the reference's behavior (media/homogeneous.inl). Heterogeneous grid
-    media: a DDA step over the compile-time supervoxel majorant grid
-    (scene.svox_*, scene/compile.py _super_majorants) replacing the
-    single global grid max the reference uses
-    (media/heterogeneous.inl:3-11) — outside the grid bbox the majorant
-    is 0 (density lookups are 0 there, volume.h:45-52), inside it is the
-    current supervoxel's bound and t_end its exit distance."""
+    The control enables residual ratio tracking (Novak et al. 2014):
+    exp(-sigma_c * dt) is exact per segment, so tracking only has to
+    estimate the residual exp(-int(sigma_t - sigma_c)) under the
+    residual majorant (majorant - control) — fewer tentative collisions
+    wherever the density is locally smooth or dense. Homogeneous media
+    get control == majorant == sigma_t (zero residual: transmittance is
+    closed-form in one segment). The reference has no analogue — it
+    delta-tracks under one global majorant with zero control
+    (media/heterogeneous.inl:3-11, vol_path_tracing.h:384-404).
+
+    Heterogeneous grid media: a DDA step over the compile-time
+    supervoxel majorant/minorant grid (scene.svox_*, scene/compile.py
+    _super_majorants) — outside the grid bbox majorant and control are 0
+    (density lookups are 0 there, volume.h:45-52), inside they are the
+    current supervoxel's bounds and t_end its exit distance."""
     from lajolla_tpu.integrators.media import (MT_DLOOK, MT_SA, MT_SOFF,
                                                MT_SRES, MT_SS, MT_TYPE,
                                                VL_PMIN, VL_PMAX)
     from lajolla_tpu.scene.types import MED_HETEROGENEOUS
     hom = row[MT_SA:MT_SA + 3] + row[MT_SS:MT_SS + 3]
     if MED_HETEROGENEOUS not in scene.meta.med_types_present:
-        return hom, t_hit
+        return hom, hom, t_hit
 
     pmin = row[MT_DLOOK + VL_PMIN:MT_DLOOK + VL_PMIN + 3]
     pmax = row[MT_DLOOK + VL_PMAX:MT_DLOOK + VL_PMAX + 3]
@@ -160,6 +168,7 @@ def _majorant_segment(scene, row, org, d, t_cur, t_hit):
     from lajolla_tpu.ops.gather import fast_gather
     rowd = fast_gather(scene.svox_data, idx)
     maj_cell = rowd[:3]
+    ctrl_cell = rowd[4:7]
     # empty-space skip (compile.py _empty_skip): a zero-majorant cell
     # with skip = s has no occupied supervoxel within L-inf distance
     # s-1, so the zero segment extends to the exit of the cell box
@@ -174,6 +183,7 @@ def _majorant_segment(scene, row, org, d, t_cur, t_hit):
     after = t_cur >= t1
     outside = before | after | (t0 > t1)
     maj_het = jnp.where(outside, jnp.zeros(3), maj_cell)
+    ctrl_het = jnp.where(outside, jnp.zeros(3), ctrl_cell)
     # inside the box: guarantee forward progress for boundary-sitting
     # lanes (tq's nudge stays within the supervoxel build's one-node
     # conservative margin, scene/compile.py _super_majorants)
@@ -183,8 +193,9 @@ def _majorant_segment(scene, row, org, d, t_cur, t_hit):
 
     is_het = row[MT_TYPE] == MED_HETEROGENEOUS
     maj = jnp.where(is_het, maj_het, hom)
+    ctrl = jnp.where(is_het, ctrl_het, hom)
     t_end = jnp.where(is_het, jnp.minimum(t_end_het, t_hit), t_hit)
-    return maj, t_end
+    return maj, ctrl, t_end
 
 
 def _free_flight(scene, options, hs, org, d, med_id, t_hit,
@@ -219,14 +230,29 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
 
     def body(st):
         (accum_t, it, trans, tdp, tnp, scatter, done) = st
-        majorant, t_end = _majorant_segment(scene, row, org, d,
-                                            accum_t, t_hit)
+        majorant, control, t_end = _majorant_segment(scene, row, org, d,
+                                                     accum_t, t_hit)
+        # residual ratio tracking: the NEE process samples tentative
+        # collisions at the RESIDUAL rate (majorant - control); the
+        # analytic control factor exp(-control * advance) folds into
+        # trans/tdp exactly because att keeps the FULL majorant rate
+        # (exp(-m*t) == exp(-c*t) * exp(-(m-c)*t)), while tnp — the NEE
+        # process's own density — switches to the residual rate. The
+        # distance-sampling (with_scatter) process itself is unchanged.
+        # meta.svox_ctrl == False means every control is 0 — the plain
+        # tracking loop compiles with no extra exps (resid == majorant).
+        use_res = scene.meta.svox_ctrl
+        resid = jnp.maximum(majorant - control, 0.0) if use_res \
+            else majorant
         maj_ch = majorant[channel]
+        rate_ch = maj_ch if with_scatter else resid[channel]
         max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
+        max_den = max_maj if with_scatter else \
+            jnp.maximum(jnp.max(resid), 1e-20)
         u = jnp.stack([_uit(hs, it, 0), _uit(hs, it, 1)])
-        t = jnp.where(maj_ch > 0,
+        t = jnp.where(rate_ch > 0,
                       -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) /
-                      jnp.maximum(maj_ch, 1e-20), INF)
+                      jnp.maximum(rate_ch, 1e-20), INF)
         dt = t_end - accum_t
         t_next = jnp.minimum(accum_t + t, t_end)
         in_flight = t < dt
@@ -241,6 +267,9 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
         # 0 * inf would be NaN where exp(-0 * dt) must be 1
         att = jnp.exp(-majorant * jnp.minimum(t, 1e30))
         att_dt = jnp.exp(-majorant * jnp.minimum(dt, 1e30))
+        att_r = jnp.exp(-resid * jnp.minimum(t, 1e30)) if use_res else att
+        att_r_dt = jnp.exp(-resid * jnp.minimum(dt, 1e30)) if use_res \
+            else att_dt
 
         if with_scatter:
             is_real = u[1] < real_prob[channel]
@@ -256,24 +285,32 @@ def _free_flight(scene, options, hs, org, d, med_id, t_hit,
                           tdp * att * majorant * (1.0 - real_prob) /
                           max_maj),
                 tdp * att_dt)
+            # tnp evaluates the residual NEE process's density at this
+            # chain's vertices (per-chain normalization shared with
+            # trans/tdp so it cancels in the MIS ratios)
             tnp_n = jnp.where(
                 in_flight,
                 jnp.where(is_real, tnp,
-                          tnp * att * majorant / max_maj),
-                tnp * att_dt)
+                          tnp * att_r * resid / max_maj),
+                tnp * att_r_dt)
             scatter_n = scatter | (in_flight & is_real)
             done_n = done | hit_end | (in_flight & is_real)
         else:
-            # NEE ratio tracking (:384-404): no real/null decision
+            # NEE residual ratio tracking (reference form: :384-404 with
+            # control 0): per vertex trans picks up exactly
+            # exp(-c*t) * exp(-resid*t) * sigma_n == att * sigma_n, and
+            # the escape factor exp(-c*dt) * exp(-resid*dt) == att_dt —
+            # identical expressions to plain ratio tracking, at the
+            # residual vertex rate and normalization
             trans_n = jnp.where(in_flight,
-                                trans * att * sigma_n / max_maj,
+                                trans * att * sigma_n / max_den,
                                 trans * att_dt)
             tnp_n = jnp.where(in_flight,
-                              tnp * att * majorant / max_maj,
-                              tnp * att_dt)
+                              tnp * att_r * resid / max_den,
+                              tnp * att_r_dt)
             tdp_n = jnp.where(in_flight,
                               tdp * att * majorant * (1.0 - real_prob) /
-                              max_maj,
+                              max_den,
                               tdp * att_dt)
             scatter_n = scatter
             done_n = done | hit_end | (jnp.max(trans_n) <= 0)
@@ -332,14 +369,26 @@ def _ff_steps(scene, options, row, hs, org, d, t_hit, wsc, go, fst):
     def step(_, st):
         (accum_t, it, trans, tdp, tnp, scatter, dn) = st
         live = go & ~dn & (it < options.max_null_collisions)
-        majorant, t_end = _majorant_segment(scene, row, org, d,
-                                            accum_t, t_hit)
+        majorant, control, t_end = _majorant_segment(scene, row, org, d,
+                                                     accum_t, t_hit)
+        # residual ratio tracking (see _free_flight.body): NEE lanes
+        # (~wsc) sample at the residual rate with the control folded in
+        # analytically; tnp evaluates the residual NEE density on both
+        # lane kinds. Per-lane chain normalization: max_maj for scatter
+        # chains, max residual for NEE chains. meta.svox_ctrl == False
+        # compiles the plain zero-control loop (resid == majorant).
+        use_res = scene.meta.svox_ctrl
+        resid = jnp.maximum(majorant - control, 0.0) if use_res \
+            else majorant
         maj_ch = majorant[channel]
+        rate_ch = jnp.where(wsc, maj_ch, resid[channel])
         max_maj = jnp.maximum(jnp.max(majorant), 1e-20)
+        max_den = jnp.where(wsc, max_maj,
+                            jnp.maximum(jnp.max(resid), 1e-20))
         u = jnp.stack([_uit(hs, it, 0), _uit(hs, it, 1)])
-        t = jnp.where(maj_ch > 0,
+        t = jnp.where(rate_ch > 0,
                       -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) /
-                      jnp.maximum(maj_ch, 1e-20), INF)
+                      jnp.maximum(rate_ch, 1e-20), INF)
         dt = t_end - accum_t
         t_next = jnp.minimum(accum_t + t, t_end)
         in_flight = t < dt
@@ -352,23 +401,26 @@ def _ff_steps(scene, options, row, hs, org, d, t_hit, wsc, go, fst):
         real_prob = sigma_t / jnp.maximum(majorant, 1e-20)
         att = jnp.exp(-majorant * jnp.minimum(t, 1e30))
         att_dt = jnp.exp(-majorant * jnp.minimum(dt, 1e30))
+        att_r = jnp.exp(-resid * jnp.minimum(t, 1e30)) if use_res else att
+        att_r_dt = jnp.exp(-resid * jnp.minimum(dt, 1e30)) if use_res \
+            else att_dt
 
         is_real = wsc & (u[1] < real_prob[channel])
         trans_n = jnp.where(
             in_flight,
-            jnp.where(is_real, trans * att / max_maj,
-                      trans * att * sigma_n / max_maj),
+            jnp.where(is_real, trans * att / max_den,
+                      trans * att * sigma_n / max_den),
             trans * att_dt)
         tdp_n = jnp.where(
             in_flight,
             jnp.where(is_real,
-                      tdp * att * majorant * real_prob / max_maj,
-                      tdp * att * majorant * (1.0 - real_prob) / max_maj),
+                      tdp * att * majorant * real_prob / max_den,
+                      tdp * att * majorant * (1.0 - real_prob) / max_den),
             tdp * att_dt)
         tnp_n = jnp.where(
             in_flight,
-            jnp.where(is_real, tnp, tnp * att * majorant / max_maj),
-            tnp * att_dt)
+            jnp.where(is_real, tnp, tnp * att_r * resid / max_den),
+            tnp * att_r_dt)
         scatter_n = scatter | (in_flight & is_real)
         dn_n = dn | hit_end | (in_flight & is_real) | \
             (~wsc & (jnp.max(trans_n) <= 0)) | \

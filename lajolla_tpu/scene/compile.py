@@ -485,21 +485,34 @@ def compile_scene(b):
         [floor(lo)-1, floor(hi)+2] per axis. Replaces the single global
         majorant the reference uses (media/heterogeneous.inl:3-11) — any
         local bound >= sigma_t keeps delta tracking unbiased, and a tight
-        one cuts the lockstep null-collision rounds ~100x on hetvol."""
+        one cuts the lockstep null-collision rounds ~100x on hetvol.
+
+        Also returns the matching per-supervoxel MINORANT (min over the
+        same node window) — a conservative control sigma_c <= sigma_t
+        everywhere in the cell, used by volpath's residual ratio
+        tracking: exp(-sigma_c * dt) is factored out analytically and
+        tracking runs at the residual rate (majorant - control), cutting
+        null-collision rounds on smooth/dense regions. sigma_c = 0
+        wherever the majorant is 0, so empty-space skips are unchanged."""
         gx, gy, gz = gres
-        out = g
+        out_hi = g
+        out_lo = g
         for axis, gdim in ((2, gx), (1, gy), (0, gz)):
-            n_nodes = out.shape[axis]
-            chunks = []
+            n_nodes = out_hi.shape[axis]
+            chunks_hi, chunks_lo = [], []
             for i in range(gdim):
                 lo = int(np.floor(i * (n_nodes - 1) / gdim)) - 1
                 hi = int(np.floor((i + 1) * (n_nodes - 1) / gdim)) + 2
                 lo, hi = max(lo, 0), min(hi, n_nodes - 1)
-                sl = [slice(None)] * out.ndim
+                sl = [slice(None)] * out_hi.ndim
                 sl[axis] = slice(lo, hi + 1)
-                chunks.append(out[tuple(sl)].max(axis=axis, keepdims=True))
-            out = np.concatenate(chunks, axis=axis)
-        return out  # (gz, gy, gx, 3)
+                chunks_hi.append(
+                    out_hi[tuple(sl)].max(axis=axis, keepdims=True))
+                chunks_lo.append(
+                    out_lo[tuple(sl)].min(axis=axis, keepdims=True))
+            out_hi = np.concatenate(chunks_hi, axis=axis)
+            out_lo = np.concatenate(chunks_lo, axis=axis)
+        return out_hi, out_lo  # each (gz, gy, gx, 3)
 
     def _empty_skip(sv):
         """Chebyshev distance-to-occupied over the supervoxel grid.
@@ -601,19 +614,26 @@ def compile_scene(b):
             div = svox_div
             gres = tuple(int(np.clip((r - 1 + div - 1) // div, 1, 32))
                          for r in (x, y, z))
-            sv = _super_majorants(g, gres) * v.scale
+            sv, sv_lo = _super_majorants(g, gres)
+            sv = sv * v.scale
+            sv_lo = sv_lo * v.scale
             svox_offset[i] = soff
             svox_res[i] = gres
             skip = _empty_skip(sv)
+            # row: majorant rgb | empty-skip | control (minorant) rgb |
+            # pad — one 8-wide row per supervoxel so the tracking loop's
+            # single gather also carries the residual-tracking control
             schunks.append(np.concatenate(
-                [sv.reshape(-1, 3), skip.reshape(-1, 1)], axis=-1))
+                [sv.reshape(-1, 3), skip.reshape(-1, 1),
+                 sv_lo.reshape(-1, 3),
+                 np.zeros((sv_lo.reshape(-1, 3).shape[0], 1))], axis=-1))
             soff += gres[0] * gres[1] * gres[2]
         else:
             vol_maxval[i] = vol_const[i]
     volume_data = (np.concatenate(vchunks) if vchunks
                    else np.zeros((1, 24))).astype(np.float32)
     svox_data = (np.concatenate(schunks) if schunks
-                 else np.zeros((1, 4))).astype(np.float32)
+                 else np.zeros((1, 8))).astype(np.float32)
 
     # layout documented in media.py (MT_*/VL_* constants)
     med_tab = np.zeros((nmed, 46), np.float32)
@@ -871,6 +891,15 @@ def compile_scene(b):
                           for m in b.materials),
         has_grid_volumes=any(v.kind == T.VOL_GRID for v in b.volumes),
         has_quads=bool((cast_alt != cast_src).any()),
+        # control == sigma_t for homogeneous media (exact analytic NEE
+        # transmittance); for grids only worth the hot-loop exps when the
+        # supervoxel minorants are nontrivial (hetvol's wispy cloud has
+        # ~0 minima everywhere, so it compiles the plain form)
+        svox_ctrl=bool(
+            T.MED_HOMOGENEOUS in med_present or
+            (T.MED_HETEROGENEOUS in med_present and
+             svox_data[:, 4:7].max() > 1e-4 * max(svox_data[:, :3].max(),
+                                                  1e-20))),
     )
 
     return Scene(

@@ -121,6 +121,10 @@ class SceneMeta:
     has_grid_volumes: bool = False
     use_binned: bool = False     # binned two-level intersector
     has_quads: bool = False      # any parallelogram-merged cast prims
+    # residual ratio tracking pays off (nontrivial supervoxel minorants,
+    # or homogeneous lanes sharing the heterogeneous event machine);
+    # False lets volpath compile the plain zero-control tracking loop
+    svox_ctrl: bool = False
 
 
 @dataclass(frozen=True)
@@ -262,7 +266,7 @@ class Scene:
     volume_data: Any     # (TOTALV,24) f32 octo-packed cell corners (compile.py)
     svox_offset: Any     # (NV,) i32 into svox_data
     svox_res: Any        # (NV,3) i32 supervoxel majorant grid (gx,gy,gz)
-    svox_data: Any       # (TOTS,4) f32 per-supervoxel majorant rgb | empty-skip dist
+    svox_data: Any       # (TOTS,8) f32 per-supervoxel majorant rgb | empty-skip dist | control (minorant) rgb | pad
     med_tab: Any         # (NM,16) f32 wide medium row (see compile.py)
 
     # --- merged wide-row tables (see scene/soa.py) ----------------------------
