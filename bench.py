@@ -87,7 +87,30 @@ def bench_scene(path, spp):
     return _time_render(run, w * h * spp)
 
 
+def _backend_probe(timeout=150):
+    """Probe the device backend in a THROWAWAY subprocess. When the axon
+    relay is down, backend init blocks ~25 min before erroring inside
+    any process that imports jax — long enough to eat the whole bench
+    budget (round 3 lost its perf record this way). A bounded child
+    process turns that into a fast, self-describing failure."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_probe():
+        print(json.dumps({
+            "metric": "cbox_512x512_path_Mpaths_per_sec_per_chip",
+            "value": None, "unit": "Mpaths/s", "vs_baseline": None,
+            "error": "device backend down (init probe timed out)",
+        }))
+        return 1
     out = {}
     mpaths = bench_headline()
     out.update({
