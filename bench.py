@@ -112,7 +112,17 @@ def main():
         }))
         return 1
     out = {}
-    mpaths = bench_headline()
+    try:
+        mpaths = bench_headline()
+    except Exception as e:                            # noqa: BLE001
+        # the axon worker can crash mid-run after a successful probe;
+        # still honor the one-JSON-line contract (round-3 lesson)
+        print(json.dumps({
+            "metric": "cbox_512x512_path_Mpaths_per_sec_per_chip",
+            "value": None, "unit": "Mpaths/s", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:200],
+        }))
+        return 1
     out.update({
         "metric": "cbox_512x512_path_Mpaths_per_sec_per_chip",
         "value": round(mpaths, 4),

@@ -519,9 +519,10 @@ def _drain_cascade(scene, options, seed, st, film, n_q, drain_fn,
         # of lanes/4, lanes/16, ... bounds the number of distinct drain
         # shapes (= device compilations) to ~3 per scene while still
         # shrinking the pool geometrically with the survivor tail
-        ratio = max(1, -(-alive // min_width))
-        width = min_width * (4 ** int(np.ceil(np.log(ratio) /
-                                              np.log(4.0))))
+        width = min_width
+        while width < alive:   # integer ladder: exact (a float
+            width *= 4         # log/ceil overshoot here would make the
+                               # early-exit drain a no-op -> host spin)
         stc = _compact_state(st, done_idx, width)
         st, Lf, iters = drain_fn(scene, options, seed, stc,
                                  early_exit=width > min_width)

@@ -117,7 +117,8 @@ def _hit_mask(t, u, v, tnear, tfar, qf=None):
 
 def _intersect(o, d, tnear, tfar, W, T, qf):
     """Woop brute force over the cast table. o,d: (3,B); tnear/tfar:
-    (1,B)/scalar/None(=inf); qf: (T,1) quad flags. Returns (t_best
+    (1,B)/scalar/None(=inf); qf: (T,1) quad flags or None (no merged
+    quads — skips the flag selects and returns qb == 0). Returns (t_best
     (1,B), sel (T,B) one-hot, u (1,B), v (1,B), qb (1,B) winner-is-quad)
     — u/v in the REP triangle's frame (caller remaps u+v>1 quad hits)."""
     t, u, v = _woop_tuv(o, d, W, T)
@@ -130,8 +131,11 @@ def _intersect(o, d, tnear, tfar, W, T, qf):
     sel = sel & (iota == first)
     ub = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
     vb = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
-    qb = jnp.sum(jnp.where(sel, jnp.broadcast_to(qf, sel.shape), 0.0),
-                 axis=0, keepdims=True)
+    if qf is None:
+        qb = jnp.zeros_like(ub)
+    else:
+        qb = jnp.sum(jnp.where(sel, jnp.broadcast_to(qf, sel.shape), 0.0),
+                     axis=0, keepdims=True)
     return t_best, sel, ub, vb, qb
 
 
@@ -179,9 +183,12 @@ def _occluded(o, d, tnear, tfar, W, T, qf):
     V = oy * dz + w * dy
     # quad rows: u <= 1 and v <= 1 replace u + v <= 1 (same multiply-
     # through-by-dz trick: u <= 1 <=> (U - dz) * dz <= 0)
-    lim_ok = jnp.where(qf > 0.0,
-                       ((U - dz) * dz <= 0.0) & ((V - dz) * dz <= 0.0),
-                       (U + V - dz) * dz <= 0.0)
+    if qf is None:
+        lim_ok = (U + V - dz) * dz <= 0.0
+    else:
+        lim_ok = jnp.where(qf > 0.0,
+                           ((U - dz) * dz <= 0.0) & ((V - dz) * dz <= 0.0),
+                           (U + V - dz) * dz <= 0.0)
     hit = ((U * dz >= 0.0) & (V * dz >= 0.0) & lim_ok &
            ((w - tnear * dz) * dz > 0.0))
     if tfar is not None:
@@ -492,7 +499,7 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
                   W, W_occ, tri, triA, triB, qf, qf_occ, light, stair,
                   sph,
                   *, T: int, TC: int, T_OCC: int, L: int, S: int,
-                  mats: tuple,
+                  mats: tuple, has_quads: bool = True,
                   eps_isect: float, eps_shadow: float,
                   max_depth: int, rr_depth: int, max_cap: int):
     """One path-vertex advance on plain (row, B) arrays; shared by the
@@ -506,6 +513,12 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
     Returns (org', dir', thr', rad', dir_pdf', prev', alive)."""
 
     # ---- closest hit: triangles + spheres ----------------------------------
+    # has_quads False (no parallelograms merged: cast_alt == cast_src,
+    # triB == triA) statically drops the quad flag selects, the second
+    # one-hot attribute matmul, and the barycentric remap — XLA cannot
+    # CSE the triA/triB matmuls itself (distinct buffers, equal contents)
+    if not has_quads:
+        qf = qf_occ = None
     t_tri, sel, ub, vb, qb = _intersect(o, d, eps_isect, None, W, TC, qf)
     if S:
         t_sph, ssel = _sphere_closest(o, d, eps_isect, sph, S)
@@ -519,11 +532,14 @@ def _advance_core(o, d, thr, rad, nv, dir_pdf, prev, un, act_in,
     self_f = sel.astype(jnp.float32)
     # quad hits with u + v > 1 belong to the partner (B) triangle:
     # attributes from triB, barycentrics remapped exactly
-    back = (qb > 0.0) & (ub + vb > 1.0)
-    rows = jnp.where(back, _rows(self_f, triB),
-                     _rows(self_f, triA))                 # (40, B)
-    ub, vb = (jnp.where(back, 1.0 - vb, ub),
-              jnp.where(back, ub + vb - 1.0, vb))
+    if has_quads:
+        back = (qb > 0.0) & (ub + vb > 1.0)
+        rows = jnp.where(back, _rows(self_f, triB),
+                         _rows(self_f, triA))             # (40, B)
+        ub, vb = (jnp.where(back, 1.0 - vb, ub),
+                  jnp.where(back, ub + vb - 1.0, vb))
+    else:
+        rows = _rows(self_f, triA)                        # (40, B)
 
     # Sanitize the miss distance: an inf position would turn masked-out
     # downstream products (NaN * 0) into NaNs in the radiance rows.
@@ -831,6 +847,7 @@ def advance_kernel_t(scene, options, orgT, dirT, thrT, radT, nv, dir_pdf,
     kern = functools.partial(
         _kernel, T=T, TC=TC, T_OCC=T_OCC, L=L, S=S,
         mats=scene.meta.mat_types_present,
+        has_quads=scene.meta.has_quads,
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
         max_depth=options.max_depth, rr_depth=options.rr_depth,

@@ -207,6 +207,7 @@ def render_fused(scene, options, seed, s0, nspp):
         filter_type=options.filter_type, filter_param=options.filter_param,
         T=T, TC=TC, T_OCC=T_OCC, L=L, S=S,
         mats=scene.meta.mat_types_present,
+        has_quads=scene.meta.has_quads,
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
         max_depth=options.max_depth, rr_depth=options.rr_depth,

@@ -542,14 +542,20 @@ def compile_scene(b):
             dist = m
         return np.minimum(dist, 255).astype(np.float32)
 
+    def _svox_gres(shape_zyx, div):
+        """Supervoxel grid resolution for a (z, y, x) density grid at
+        `div` cells per supervoxel. Single source of truth: used both by
+        the divisor search below and the actual grid build, so the row
+        prediction can never diverge from the svox_data that is built
+        (a divergence would silently push fast_gather off the one-hot
+        MXU path in the hottest tracking loop)."""
+        z, y, x = shape_zyx
+        return tuple(int(np.clip((r - 1 + div - 1) // div, 1, 32))
+                     for r in (x, y, z))
+
     def _svox_rows_at(div):
-        tot = 0
-        for v in b.volumes:
-            if v.kind == T.VOL_GRID:
-                z, y, x = v.grid.shape[:3]
-                tot += int(np.prod([np.clip((r - 1 + div - 1) // div,
-                                            1, 32) for r in (x, y, z)]))
-        return tot
+        return sum(int(np.prod(_svox_gres(v.grid.shape[:3], div)))
+                   for v in b.volumes if v.kind == T.VOL_GRID)
 
     # smallest divisor (>= SVOX_DIVISOR, <= SVOX_DIVISOR_MAX) whose total
     # supervoxel row count fits the one-hot MXU gather bound; plain
@@ -611,9 +617,7 @@ def compile_scene(b):
             ], axis=-1)
             vchunks.append(oct_.reshape(-1, 24))
             voff += x * y * z
-            div = svox_div
-            gres = tuple(int(np.clip((r - 1 + div - 1) // div, 1, 32))
-                         for r in (x, y, z))
+            gres = _svox_gres(g.shape[:3], svox_div)
             sv, sv_lo = _super_majorants(g, gres)
             sv = sv * v.scale
             sv_lo = sv_lo * v.scale

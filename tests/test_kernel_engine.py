@@ -92,6 +92,43 @@ def test_fused_kernel_compiled_pin():
     assert abs(img_c.mean() - img_i.mean()) / img_i.mean() < 5e-3
 
 
+def test_fused_kernel_no_quads_branch(monkeypatch):
+    """has_quads=False static specialization (path_kernel._advance_core
+    skips the quad-flag selects, the second one-hot attribute matmul and
+    the barycentric remap when no parallelograms merged) must still
+    match the scalar engine. Compiles cbox with merging disabled so the
+    fused kernel takes the no-quad branch."""
+    import dataclasses
+    import lajolla_tpu.scene.compile as C
+    import lajolla_tpu.integrators.path_megakernel as MK
+    import lajolla_tpu.integrators.path as P
+    from lajolla_tpu.scene.parser import parse_scene
+
+    monkeypatch.setattr(
+        C, '_merge_parallelograms',
+        lambda vertices, indices, num_tris: (
+            np.arange(max(num_tris, 1), dtype=np.int32),
+            np.zeros(max(num_tris, 1), bool)))
+    scene, options = parse_scene(os.path.join(REF, 'cbox/cbox.xml'))
+    assert scene.meta.has_quads is False
+    assert scene.cast_src.shape[0] == 38      # nothing merged
+    scene = dataclasses.replace(
+        scene, meta=dataclasses.replace(scene.meta, width=128, height=64))
+    spp = 4
+    old = MK.INTERPRET
+    MK.INTERPRET = True
+    try:
+        img_k = np.asarray(MK.render_fused(scene, options, 0, 0,
+                                           spp)) / spp
+    finally:
+        MK.INTERPRET = old
+    img_s = np.asarray(P._render_block(scene, options, 0, 0, spp)) / spp
+    assert np.isfinite(img_k).all()
+    rel = np.abs(img_k - img_s) / (img_s + 1e-3)
+    assert np.median(rel) < 1e-4
+    assert abs(img_k.mean() - img_s.mean()) / img_s.mean() < 0.01
+
+
 def test_render_block_kernel_dispatch(monkeypatch):
     """Regression for the round-3 advisor HIGH finding: _render_block's
     fast-path dispatch (TPU-only in production, so CPU suites never
