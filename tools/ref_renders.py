@@ -47,6 +47,19 @@ GOLDENS = [
     ("matpreview", f"{REF}/matpreview/matpreview.xml", 64, 1024),
     ("disney_bsdf", f"{REF}/disney_bsdf_test/disney_bsdf.xml", 64, 1024),
     ("sponza", f"{REF}/sponza/sponza.xml", 64, 1024),
+    # round 4: the rest of the scene corpus (tests/test_scene_surface.py
+    # gates the classes no other golden covers: non-box reconstruction
+    # filters, sphere-only fast path, volpath v1 + final-engine variants,
+    # colored grid majorants, mesh-bounded interior media)
+    ("pixel_filter", f"{REF}/pixel_filter_test/pixel_filter_test.xml",
+     32, 2048),
+    ("simple_sphere", f"{REF}/disney_bsdf_test/simple_sphere.xml",
+     32, 2048),
+    ("volpath1", f"{REF}/volpath_test/volpath_test1.xml", 32, 2048),
+    ("volpath6", f"{REF}/volpath_test/volpath_test6.xml", 32, 1024),
+    ("hetvol_colored", f"{REF}/volpath_test/hetvol_colored.xml", 32, 512),
+    ("vol_cbox_teapot", f"{REF}/volpath_test/vol_cbox_teapot.xml",
+     32, 1024),
 ]
 
 AUX = [
