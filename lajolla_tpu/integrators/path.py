@@ -58,7 +58,7 @@ def _ray_diff_refract(spread, radius, mean_curvature, eta, roughness):
     return jnp.maximum(spec * (1.0 - roughness) + 0.2 * roughness, 0.0)
 
 
-def _advance_lane(scene, options, st, u):
+def _advance_lane(scene, options, st, u, detach=False):
     """One path-vertex step for a single lane (scalar; vmapped).
 
     st: (item, nv, org, d, spread, radius, T, L, eta_scale,
@@ -66,14 +66,41 @@ def _advance_lane(scene, options, st, u):
     vertex (drawn by the driver from the counter-hash stream).
     Returns (new_state_tuple, died) where died marks a path completing
     THIS step (radiance ready to splat).
-    """
+
+    detach=True enables the DETACHED-sampling gradient mode used by
+    integrators/diffpath.py (reverse-mode AD through the estimator):
+    geometry (rays, hit records), sampled directions, sampling pdfs,
+    MIS weights and the RR probability are wrapped in stop_gradient,
+    while BSDF *evaluations* and emission stay attached. Detaching the
+    pdfs in denominators is what makes the gradient estimator unbiased
+    for eval-side parameters: E[∂θ f(x;θ)/p_detached(x)] = ∂θ ∫f
+    (attaching p would add the spurious -∫ f ∂θ p / p term); detaching
+    the sample x itself drops only the reparameterization term that
+    moves discontinuities (Mitsuba's 'detached' estimator). No effect
+    on the primal values, so detach=False paths are untouched."""
+    sg = jax.lax.stop_gradient if detach else (lambda x: x)
     (item, nv, org, d, spread, radius, T, L, eta_scale,
      dir_pdf, prev_pos, done) = st
+    org, d, prev_pos = sg(org), sg(d), sg(prev_pos)
+    spread, radius = sg(spread), sg(radius)
+    dir_pdf = sg(dir_pdf)
     eps_shadow = shadow_eps(scene.meta.scene_radius)
     eps_isect = intersection_eps(scene.meta.scene_radius)
     max_depth = options.max_depth
 
     hit = intersect_scene(scene, org, d, eps_isect, INF, radius, spread)
+    if detach:
+        # Detached + SANITIZED: miss records carry t = INF and
+        # position = o + INF*d. Forward, every use is masked out; in
+        # reverse mode the masked branch's inf/NaN partials multiply the
+        # zero cotangent into NaN (0*inf), which the film-gradient
+        # reduction then spreads to every parameter. Zeroing non-finite
+        # fields is invisible to the primal and keeps the transpose
+        # finite.
+        hit = jax.tree_util.tree_map(
+            lambda x: jnp.where(jnp.isfinite(x), x, 0.0)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            jax.tree_util.tree_map(sg, hit))
     radius = radius + spread * jnp.where(hit.valid, hit.t, 0.0)
     from_camera = nv == 2
 
@@ -84,8 +111,8 @@ def _advance_lane(scene, options, st, u):
         jnp.maximum(distance_squared(hit.position, prev_pos), 1e-20)
     p2 = dir_pdf * G2
     lp2 = LightPoint(position=hit.position, normal=hit.geometry_normal)
-    p1 = light_pmf(scene, hit.light_id) * \
-        pdf_point_on_light(scene, hit.light_id, lp2, prev_pos)
+    p1 = sg(light_pmf(scene, hit.light_id) *
+            pdf_point_on_light(scene, hit.light_id, lp2, prev_pos))
     w2 = jnp.where(from_camera, 1.0,
                    (p2 * p2) / jnp.maximum(p1 * p1 + p2 * p2, 1e-30))
     L = L + jnp.where(hit_light, T * Le * w2, 0.0)
@@ -94,8 +121,9 @@ def _advance_lane(scene, options, st, u):
         Lenv = emission_envmap(scene, d, spread)
         env_id = scene.meta.envmap_light_id
         lpe = LightPoint(position=jnp.zeros(3), normal=-d)
-        p1e = light_pmf(scene, env_id) * \
-            pdf_point_on_light(scene, jnp.int32(env_id), lpe, prev_pos)
+        p1e = sg(light_pmf(scene, env_id) *
+                 pdf_point_on_light(scene, jnp.int32(env_id), lpe,
+                                    prev_pos))
         p2e = dir_pdf  # solid-angle measure; G = 1 for envmaps
         w2e = jnp.where(from_camera, 1.0,
                         (p2e * p2e) / jnp.maximum(p1e * p1e + p2e * p2e,
@@ -114,6 +142,8 @@ def _advance_lane(scene, options, st, u):
     # ---- NEE (path_tracing.h:98-207) --------------------------------------
     light_id = sample_light(scene, u[2])
     lp = sample_point_on_light(scene, light_id, hit.position, u[0:2], u[3])
+    if detach:
+        lp = jax.tree_util.tree_map(sg, lp)
     is_env = (scene.light_type[light_id] == LIGHT_ENVMAP) \
         if scene.meta.has_envmap else jnp.bool_(False)
     dir_light_area = normalize(lp.position - hit.position)
@@ -124,27 +154,34 @@ def _advance_lane(scene, options, st, u):
     G_area = jnp.maximum(-dot(dir_light, lp.normal), 0.0) / \
         jnp.maximum(dist2, 1e-20)
     G = jnp.where(occ, 0.0, jnp.where(is_env, 1.0, G_area))
-    p1n = light_pmf(scene, light_id) * \
-        pdf_point_on_light(scene, light_id, lp, hit.position)
+    p1n = sg(light_pmf(scene, light_id) *
+             pdf_point_on_light(scene, light_id, lp, hit.position))
     nee_ok = alive & (G > 0) & (p1n > 0)
     f_nee = eval_bsdf(scene, mat_id, dir_view, dir_light, hit)
     L_nee = jnp.where(is_env,
                       emission_envmap(scene, dir_light, 0.0),
                       emission_area(scene, light_id, lp.normal, -dir_light))
-    p2n = pdf_bsdf(scene, mat_id, dir_view, dir_light, hit) * G
+    p2n = sg(pdf_bsdf(scene, mat_id, dir_view, dir_light, hit)) * G
     w1 = (p1n * p1n) / jnp.maximum(p1n * p1n + p2n * p2n, 1e-30)
-    C1 = G * f_nee * L_nee / jnp.maximum(p1n, 1e-30)
+    # nee_ok-gated denominator: identical where the term is used
+    # (nee_ok implies p1n > 0); masked lanes divide by 1 instead of
+    # 1e-30 so their (discarded) values stay finite — required for a
+    # finite reverse-mode transpose in detach mode
+    C1 = G * f_nee * L_nee / jnp.where(nee_ok,
+                                       jnp.maximum(p1n, 1e-30), 1.0)
     L = L + jnp.where(nee_ok, T * C1 * w1, 0.0)
 
     # ---- BSDF sampling + RR (path_tracing.h:210-322) ----------------------
     rec = sample_bsdf(scene, mat_id, dir_view, hit, u[4:6], u[6])
+    if detach:
+        rec = jax.tree_util.tree_map(sg, rec)
     f2 = eval_bsdf(scene, mat_id, dir_view, rec.dir_out, hit)
-    p2s = pdf_bsdf(scene, mat_id, dir_view, rec.dir_out, hit)
+    p2s = sg(pdf_bsdf(scene, mat_id, dir_view, rec.dir_out, hit))
     alive = alive & rec.valid & (p2s > 0)
 
     do_rr = (nv - 1) >= options.rr_depth
-    rr_prob = jnp.where(do_rr,
-                        jnp.minimum(jnp.max(T / eta_scale), 0.95), 1.0)
+    rr_prob = sg(jnp.where(do_rr,
+                           jnp.minimum(jnp.max(T / eta_scale), 0.95), 1.0))
     alive = alive & (u[7] <= rr_prob)
 
     is_refract = rec.eta != 0.0
@@ -157,7 +194,12 @@ def _advance_lane(scene, options, st, u):
                               eta_scale / jnp.maximum(rec.eta * rec.eta,
                                                       1e-12),
                               eta_scale)
-    new_T = T * f2 / jnp.maximum(p2s * rr_prob, 1e-30)
+    # dead lanes carry T = 0 (their state is never read by the film —
+    # the queue regenerates them, the drain latched L at death — but a
+    # garbage 1/1e-30-scaled T would compound to inf in diffpath's
+    # fixed-depth scan and NaN its transpose)
+    new_T = jnp.where(alive, T * f2 / jnp.maximum(p2s * rr_prob, 1e-30),
+                      0.0)
 
     died = ~done & ~alive
 
