@@ -47,10 +47,13 @@ from lajolla_tpu.integrators.path import (_GOLD, _advance_lane, _hash_u01,
 
 
 @partial(jax.jit, static_argnames=('options', 'spp', 'depth'))
-def render_diff(scene, options, seed=0, spp=4, depth=6):
+def render_diff(scene, options, seed=0, spp=4, depth=6, s0=0):
     """Differentiable render: (h, w, 3) film MEAN over `spp` samples
     with a fixed `depth`-bounce budget. Differentiable wrt any float
-    leaf of `scene` that parameterizes shading or emission."""
+    leaf of `scene` that parameterizes shading or emission. `s0` offsets
+    the sample indices (work items s0*n ..) so a mesh of chips can split
+    the sample axis while reproducing the exact single-chip RNG streams
+    (parallel/mesh.py render_diff_sharded)."""
     w, h = scene.meta.width, scene.meta.height
     n = w * h
     lanes = n * spp
@@ -58,7 +61,8 @@ def render_diff(scene, options, seed=0, spp=4, depth=6):
     kidx = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(_GOLD) +
             jnp.uint32(_GOLD))[None, :]                    # (1, 8)
 
-    item0 = jnp.arange(lanes, dtype=jnp.int32)             # item % n = pixel
+    item0 = jnp.arange(lanes, dtype=jnp.int32) + \
+        jnp.asarray(s0, jnp.int32) * n                     # item % n = pixel
     _pix, org0, d0 = _primary_hash(scene, options, item0, su)
     z = jnp.zeros(lanes, jnp.float32)
     st = (item0, jnp.full(lanes, 2, jnp.int32), org0, d0,

@@ -153,6 +153,40 @@ def render_aux_sharded(scene, options, mesh=None):
     return img[:h]
 
 
+@partial(jax.jit, static_argnames=('options', 'mesh', 'spp_per_chip',
+                                   'depth'))
+def _render_diff_sharded_jit(scene, options, seed, mesh, spp_per_chip,
+                             depth):
+    from lajolla_tpu.integrators.diffpath import render_diff
+
+    def per_chip(scene):
+        chip = jax.lax.axis_index('samples')
+        img = render_diff(scene, options, seed, spp=spp_per_chip,
+                          depth=depth, s0=chip * spp_per_chip)
+        return jax.lax.pmean(img, 'samples')
+
+    fn = jax.shard_map(per_chip, mesh=mesh,
+                       in_specs=(P(),), out_specs=P(),
+                       check_vma=False)
+    return fn(scene)
+
+
+def render_diff_sharded(scene, options, seed=0, mesh=None, depth=6):
+    """Distributed DIFFERENTIABLE render (integrators/diffpath.py) —
+    sample-axis data parallelism like render_path_sharded, and
+    `jax.grad` flows straight through the shard_map + pmean: the film
+    gradient wrt replicated scene parameters is all-reduced over ICI by
+    the transpose automatically. Per-chip sample indices reproduce the
+    single-chip RNG streams exactly (render_diff's s0), so the sharded
+    primal AND gradients match a single-device render at equal total
+    spp (tests/test_diffpath.py::test_sharded_gradients_match)."""
+    mesh = mesh or default_mesh()
+    n = mesh.devices.size
+    spp_per_chip = -(-options.samples_per_pixel // n)
+    return _render_diff_sharded_jit(scene, options, seed, mesh,
+                                    spp_per_chip, depth)
+
+
 _AUX = ('depth', 'shadingNormal', 'meanCurvature', 'rayDifferential',
         'mipmapLevel')
 

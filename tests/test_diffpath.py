@@ -21,6 +21,12 @@ import pytest
 
 REF = '/root/reference/scenes'
 
+_jax = pytest.importorskip('jax')
+pytestmark = pytest.mark.skipif(
+    _jax.default_backend() == 'tpu',
+    reason='CPU-only (platform-independent estimator plumbing; keeps '
+           'the TPU suite budget for perf/bias gates)')
+
 
 def _cbox(res=32):
     from lajolla_tpu.scene.parser import parse_scene_to_builder
@@ -87,6 +93,40 @@ def test_gradient_matches_finite_differences():
     # scale nonlinearity of multi-bounce throughput, O(eps^2)
     assert g == pytest.approx(fd, rel=5e-3), (g, fd)
     assert g > 0  # brighter wall -> brighter image
+
+
+def test_sharded_gradients_match():
+    """Gradients through shard_map: an 8-device sample-DP render must
+    give the same primal AND parameter gradient as single-device at
+    equal total spp (the transpose all-reduces the replicated-param
+    cotangents over the mesh automatically)."""
+    import jax
+    import jax.numpy as jnp
+    from lajolla_tpu.integrators.diffpath import render_diff
+    from lajolla_tpu.parallel.mesh import (default_mesh,
+                                           render_diff_sharded)
+
+    scene, opts = _cbox(16)
+    opts = dataclasses.replace(opts, max_depth=4, samples_per_pixel=8)
+    mesh = default_mesh()
+    nd = mesh.devices.size
+
+    def _scaled(s):
+        return dataclasses.replace(scene, tex_tab=scene.tex_tab * s)
+
+    def loss_sharded(s):
+        return jnp.mean(render_diff_sharded(_scaled(s), opts, seed=3,
+                                            mesh=mesh, depth=4))
+
+    def loss_single(s):
+        return jnp.mean(render_diff(_scaled(s), opts, seed=3,
+                                    spp=8, depth=4))
+
+    p_sh, g_sh = jax.value_and_grad(loss_sharded)(jnp.float32(1.0))
+    p_1, g_1 = jax.value_and_grad(loss_single)(jnp.float32(1.0))
+    assert nd == 8  # conftest virtual mesh
+    assert float(p_sh) == pytest.approx(float(p_1), rel=1e-4)
+    assert float(g_sh) == pytest.approx(float(g_1), rel=1e-3)
 
 
 def test_albedo_recovery():
