@@ -92,3 +92,42 @@ def render_diff(scene, options, seed=0, spp=4, depth=6, s0=0):
     # whole-sample NaN/Inf exclusion (render.cpp:140-143 parity)
     Lf = jnp.where(jnp.all(jnp.isfinite(Lf), axis=-1)[:, None], Lf, 0.0)
     return Lf.reshape(spp, n, 3).sum(0).reshape(h, w, 3) / spp
+
+
+@partial(jax.jit, static_argnames=('options', 'spp'))
+def render_volpath_diff(scene, options, seed=0, spp=4):
+    """Differentiable VOLUMETRIC render for the loop-free single-
+    scattering estimators (vol_path_version 1/2): (h, w, 3) film mean,
+    differentiable wrt medium (σ_a, σ_s), phase and emission parameters
+    of the scene pytree. Version 1 is closed-form (nothing is sampled
+    from the differentiated parameters — plain AD is exact); version 2
+    runs `volpath2_trace_one(detach=True)` (detached free-flight
+    sampling; see its docstring). Mirrors the production
+    `_render_volpath_simple_block` RNG exactly (threefry fold_in per
+    (pixel, sample)), so primals match the forward driver bit-for-bit
+    modulo XLA fusion."""
+    from functools import partial as _p
+
+    from lajolla_tpu.integrators.volpath import (volpath1_trace_one,
+                                                 volpath2_trace_one)
+    w, h = scene.meta.width, scene.meta.height
+    n = w * h
+    root = jax.random.PRNGKey(seed)
+    pix = jnp.arange(n, dtype=jnp.uint32)
+    px = (pix % w).astype(jnp.int32)
+    py = (pix // w).astype(jnp.int32)
+    pixel_keys = jax.vmap(jax.random.fold_in, (None, 0))(root, pix)
+    tracer = volpath1_trace_one if options.vol_path_version == 1 \
+        else _p(volpath2_trace_one, detach=True)
+    trace = jax.vmap(tracer, in_axes=(None, None, 0, 0, 0))
+
+    def body(img, i):
+        keys = jax.vmap(jax.random.fold_in, (0, None))(
+            pixel_keys, i.astype(jnp.uint32))
+        L = trace(scene, options, px, py, keys)
+        L = jnp.where(jnp.isfinite(L), L, 0.0)
+        return img + L, None
+
+    img, _ = jax.lax.scan(body, jnp.zeros((n, 3), jnp.float32),
+                          jnp.arange(spp))
+    return (img / spp).reshape(h, w, 3)

@@ -1026,7 +1026,10 @@ def volpath1_trace_one(scene, options, px, py, key):
     hit = intersect_scene(scene, org, d, 0.0, INF)
     has_med = hit.valid & (hit.exterior_med >= 0)
     sigma_a = get_sigma_a(scene, hit.exterior_med, hit.position)
-    t_hit = distance(hit.position, org)
+    # miss lanes carry position = inf; the result is masked by has_med,
+    # but exp(-σ·inf) would NaN the σ-cotangent under jax.grad
+    # (diffpath.render_volpath_diff) — 0 is primal-equivalent
+    t_hit = jnp.where(hit.valid, distance(hit.position, org), 0.0)
     transmittance = jnp.exp(-sigma_a * t_hit)
     Le = jnp.where(hit.light_id >= 0,
                    emission_area(scene, hit.light_id, hit.geometry_normal,
@@ -1034,8 +1037,17 @@ def volpath1_trace_one(scene, options, px, py, key):
     return jnp.where(has_med, transmittance * Le, jnp.zeros(3))
 
 
-def volpath2_trace_one(scene, options, px, py, key):
-    """Single monochromatic homogeneous volume, single scattering (:46-147)."""
+def volpath2_trace_one(scene, options, px, py, key, detach=False):
+    """Single monochromatic homogeneous volume, single scattering (:46-147).
+
+    detach=True is the volumetric detached-gradient mode (see
+    path._advance_lane): the sampled free-flight distance, the sampling
+    pdfs and all geometry are stop-gradiented while the transmittance /
+    scattering / phase / emission factors stay attached — unbiased
+    gradients wrt medium (σ_a, σ_s), phase and emission parameters
+    (∂θ E = E[∂θ f / p_detached] since p carries no θ after detach).
+    Primal-neutral; used by integrators/diffpath.render_volpath_diff."""
+    sg = jax.lax.stop_gradient if detach else (lambda x: x)
     eps_shadow = shadow_eps(scene.meta.scene_radius)
     key, sub = jax.random.split(key)
     u_pix = jax.random.uniform(sub, (2,))
@@ -1044,22 +1056,24 @@ def volpath2_trace_one(scene, options, px, py, key):
     hit = intersect_scene(scene, org, d, 0.0, INF)
     medium = jnp.where(hit.valid, hit.exterior_med,
                        jnp.int32(scene.meta.camera_medium_id))
-    t_hit = jnp.where(hit.valid, distance(hit.position, org), INF)
+    t_hit = jnp.where(hit.valid, sg(distance(hit.position, org)), INF)
 
-    sigma_s = get_sigma_s(scene, medium, hit.position)
-    sigma_a = get_sigma_a(scene, medium, hit.position)
+    sigma_s = get_sigma_s(scene, medium, sg(hit.position))
+    sigma_a = get_sigma_a(scene, medium, sg(hit.position))
     sigma_t = sigma_s + sigma_a
 
     key, u = _uniforms(key, 5)
-    t = -jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) / \
-        jnp.maximum(sigma_t[0], 1e-20)
+    t = sg(-jnp.log(jnp.maximum(1.0 - u[0], 1e-20)) /
+           jnp.maximum(sigma_t[0], 1e-20))
 
     # scatter before surface
-    trans_pdf_s = jnp.exp(-sigma_t * t) * sigma_t
+    trans_pdf_s = sg(jnp.exp(-sigma_t * t) * sigma_t)
     transmittance_s = jnp.exp(-sigma_t * t)
-    p = org + t * d
+    p = sg(org + t * d)
     light_id = sample_light(scene, u[3])
     lp = sample_point_on_light(scene, light_id, p, u[1:3], u[4])
+    if detach:
+        lp = jax.tree_util.tree_map(sg, lp)
     dir_light = normalize(lp.position - p)
     rho = phase_eval(scene, medium, -d, dir_light)
     Le = emission_area(scene, light_id, lp.normal, -dir_light)
@@ -1072,14 +1086,19 @@ def volpath2_trace_one(scene, options, px, py, key):
         jnp.maximum(distance_squared(p, lp.position), 1e-20) * \
         jnp.where(occ, 0.0, 1.0)
     L_s1 = rho * Le * exp_term * jac
-    L_s1_pdf = light_pmf(scene, light_id) * \
-        pdf_point_on_light(scene, light_id, lp, p)
+    L_s1_pdf = sg(light_pmf(scene, light_id) *
+                  pdf_point_on_light(scene, light_id, lp, p))
     scatter_contrib = (transmittance_s / trans_pdf_s) * sigma_s * \
         (L_s1 / jnp.maximum(L_s1_pdf, 1e-30))
 
-    # reach the surface
-    trans_pdf_h = jnp.exp(-sigma_t * t_hit)
-    transmittance_h = jnp.exp(-sigma_t * t_hit)
+    # reach the surface. In detach mode a miss (t_hit = INF) must not
+    # reach exp(-σ·INF): forward it's the masked branch, but the
+    # σ-cotangent would be -INF·exp(-INF) = NaN (see _advance_lane's
+    # sanitize note); the selected branch is identical.
+    t_hit_e = jnp.where(jnp.isfinite(t_hit), t_hit, 0.0) \
+        if detach else t_hit
+    trans_pdf_h = sg(jnp.exp(-sigma_t * t_hit_e))
+    transmittance_h = jnp.exp(-sigma_t * t_hit_e)
     Le_h = jnp.where(hit.valid & (hit.light_id >= 0),
                      emission_area(scene, hit.light_id,
                                    hit.geometry_normal, -d), jnp.zeros(3))
