@@ -41,6 +41,35 @@ def jax_rsqrt(x):
     return jax.lax.rsqrt(x)
 
 
+def _make_safe_sqrt():
+    import jax
+
+    @jax.custom_jvp
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 0.0))
+
+    @safe_sqrt.defjvp
+    def _safe_sqrt_jvp(primals, tangents):
+        (x,), (t,) = primals, tangents
+        y = jnp.sqrt(jnp.maximum(x, 0.0))
+        return y, t * 0.5 / jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    return safe_sqrt
+
+
+safe_sqrt = _make_safe_sqrt()
+safe_sqrt.__doc__ = """sqrt(max(x, 0)) with a CLAMPED derivative.
+
+Primal is bit-identical to jnp.sqrt(jnp.maximum(x, 0)); the tangent
+uses 1/(2*sqrt(max(x, 1e-12))). At clip-to-zero sites (VNDF disk rim,
+Fresnel/refraction cosines) the true derivative is inf, and reverse
+mode turns the ZERO cotangent of a masked lane into 0/0 = NaN, which
+the film-gradient reduction then spreads everywhere — the dominant
+source of NaN gradients in the detached estimators
+(integrators/diffpath.py). Use for every sqrt whose argument is
+clamped at 0 on a parameter-tangent path."""
+
+
 def distance(a, b):
     return length(a - b)
 
@@ -145,7 +174,7 @@ def refract(w, n, eta):
     sin2_i = jnp.maximum(0.0, 1.0 - cos_i * cos_i)
     sin2_t = sin2_i / (eta * eta)
     valid = sin2_t < 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = safe_sqrt(1.0 - sin2_t)
     wt = -w / eta[..., None] + (cos_i / eta - cos_t)[..., None] * n
     return wt, valid
 

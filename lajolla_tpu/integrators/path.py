@@ -113,6 +113,14 @@ def _advance_lane(scene, options, st, u, detach=False):
     lp2 = LightPoint(position=hit.position, normal=hit.geometry_normal)
     p1 = sg(light_pmf(scene, hit.light_id) *
             pdf_point_on_light(scene, hit.light_id, lp2, prev_pos))
+    if detach:
+        # f32 overflow hygiene for AD: pdf*geometry products can exceed
+        # 3.4e38 on near-degenerate lanes; forward, w = inf/inf = NaN
+        # samples are dropped by the film's isfinite filter, but the
+        # NaN poisons every cotangent in the scan transpose. Clamping
+        # at 1e18 keeps those (discarded-anyway) values finite and is
+        # exact for every non-pathological lane.
+        p1, p2 = jnp.minimum(p1, 1e18), jnp.minimum(p2, 1e18)
     w2 = jnp.where(from_camera, 1.0,
                    (p2 * p2) / jnp.maximum(p1 * p1 + p2 * p2, 1e-30))
     L = L + jnp.where(hit_light, T * Le * w2, 0.0)
@@ -125,6 +133,8 @@ def _advance_lane(scene, options, st, u, detach=False):
                  pdf_point_on_light(scene, jnp.int32(env_id), lpe,
                                     prev_pos))
         p2e = dir_pdf  # solid-angle measure; G = 1 for envmaps
+        if detach:
+            p1e, p2e = jnp.minimum(p1e, 1e18), jnp.minimum(p2e, 1e18)
         w2e = jnp.where(from_camera, 1.0,
                         (p2e * p2e) / jnp.maximum(p1e * p1e + p2e * p2e,
                                                   1e-30))
@@ -148,12 +158,23 @@ def _advance_lane(scene, options, st, u, detach=False):
         if scene.meta.has_envmap else jnp.bool_(False)
     dir_light_area = normalize(lp.position - hit.position)
     dir_light = jnp.where(is_env, -lp.normal, dir_light_area)
+    if detach:
+        # degenerate shadow directions (coincident points -> normalize
+        # returns 0) are masked by nee_ok, but evaluating a microfacet
+        # BSDF at wo = 0 has inf partials that NaN the transpose even
+        # under a zero cotangent; substitute a benign direction
+        dl_ok = jnp.sum(dir_light * dir_light) > 0.5
+        dir_light = jnp.where(dl_ok, dir_light, hit.frame[2])
     dist2 = distance_squared(lp.position, hit.position)
     tfar = jnp.where(is_env, INF, (1.0 - eps_shadow) * jnp.sqrt(dist2))
     occ = occluded(scene, hit.position, dir_light, eps_shadow, tfar)
     G_area = jnp.maximum(-dot(dir_light, lp.normal), 0.0) / \
         jnp.maximum(dist2, 1e-20)
     G = jnp.where(occ, 0.0, jnp.where(is_env, 1.0, G_area))
+    if detach:
+        # a substituted (originally degenerate) shadow direction must
+        # stay masked: the original G was exactly 0 there
+        G = jnp.where(dl_ok, G, 0.0)
     p1n = sg(light_pmf(scene, light_id) *
              pdf_point_on_light(scene, light_id, lp, hit.position))
     nee_ok = alive & (G > 0) & (p1n > 0)
@@ -162,6 +183,8 @@ def _advance_lane(scene, options, st, u, detach=False):
                       emission_envmap(scene, dir_light, 0.0),
                       emission_area(scene, light_id, lp.normal, -dir_light))
     p2n = sg(pdf_bsdf(scene, mat_id, dir_view, dir_light, hit)) * G
+    if detach:
+        p1n, p2n = jnp.minimum(p1n, 1e18), jnp.minimum(p2n, 1e18)
     w1 = (p1n * p1n) / jnp.maximum(p1n * p1n + p2n * p2n, 1e-30)
     # nee_ok-gated denominator: identical where the term is used
     # (nee_ok implies p1n > 0); masked lanes divide by 1 instead of
@@ -175,6 +198,12 @@ def _advance_lane(scene, options, st, u, detach=False):
     rec = sample_bsdf(scene, mat_id, dir_view, hit, u[4:6], u[6])
     if detach:
         rec = jax.tree_util.tree_map(sg, rec)
+        # invalid samples can return a zero/non-finite dir_out; the lane
+        # is masked (alive &= rec.valid) but the eval/pdf at a
+        # degenerate wo has inf partials — NaN through the transpose
+        do = jnp.where(jnp.isfinite(rec.dir_out), rec.dir_out, 0.0)
+        d_ok = jnp.sum(do * do) > 0.5
+        rec = rec._replace(dir_out=jnp.where(d_ok, do, hit.frame[2]))
     f2 = eval_bsdf(scene, mat_id, dir_view, rec.dir_out, hit)
     p2s = sg(pdf_bsdf(scene, mat_id, dir_view, rec.dir_out, hit))
     alive = alive & rec.valid & (p2s > 0)
@@ -200,6 +229,10 @@ def _advance_lane(scene, options, st, u, detach=False):
     # fixed-depth scan and NaN its transpose)
     new_T = jnp.where(alive, T * f2 / jnp.maximum(p2s * rr_prob, 1e-30),
                       0.0)
+    if detach:
+        # overflow hygiene (see the p1/p2 clamp above): a fireball
+        # lane's T must not reach inf — inf*0 NaNs the transpose
+        new_T = jnp.minimum(new_T, 1e18)
 
     died = ~done & ~alive
 

@@ -6,7 +6,7 @@ helpers (materials/disney_metal.inl:3-50) into branch-free jnp.
 
 import jax.numpy as jnp
 
-from lajolla_tpu.core.math import dot, normalize, to_world
+from lajolla_tpu.core.math import dot, normalize, safe_sqrt, to_world
 from lajolla_tpu.scene.soa import fetch_mat
 from lajolla_tpu.scene.texeval import eval_texture
 
@@ -46,7 +46,7 @@ def fresnel_dielectric(n_dot_i, eta):
     eta = n_t/n_i. Returns 1 on total internal reflection."""
     n_dot_t_sq = 1.0 - (1.0 - n_dot_i * n_dot_i) / (eta * eta)
     tir = n_dot_t_sq < 0.0
-    n_dot_t = jnp.sqrt(jnp.maximum(n_dot_t_sq, 0.0))
+    n_dot_t = safe_sqrt(n_dot_t_sq)
     c = jnp.abs(n_dot_i)
     rs = (c - eta * n_dot_t) / (c + eta * n_dot_t)
     rp = (eta * c - n_dot_t) / (eta * c + n_dot_t)
@@ -87,9 +87,8 @@ def sample_visible_normals(local_dir_in, alpha, u):
     t1 = r * jnp.cos(phi)
     t2 = r * jnp.sin(phi)
     s = (1.0 + hemi_dir_in[2]) / 2.0
-    t2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - t1 * t1, 0.0)) + s * t2
-    disk_n = jnp.stack([t1, t2, jnp.sqrt(jnp.maximum(
-        1.0 - t1 * t1 - t2 * t2, 0.0))])
+    t2 = (1.0 - s) * safe_sqrt(1.0 - t1 * t1) + s * t2
+    disk_n = jnp.stack([t1, t2, safe_sqrt(1.0 - t1 * t1 - t2 * t2)])
     # build frame around hemi_dir_in
     from lajolla_tpu.core.math import make_frame
     fr = make_frame(hemi_dir_in)
@@ -124,9 +123,8 @@ def sample_visible_normals_aniso(local_dir_in, ax, ay, u):
     t1 = r * jnp.cos(phi)
     t2 = r * jnp.sin(phi)
     s = (1.0 + hemi_dir_in[2]) / 2.0
-    t2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - t1 * t1, 0.0)) + s * t2
-    disk_n = jnp.stack([t1, t2, jnp.sqrt(jnp.maximum(
-        1.0 - t1 * t1 - t2 * t2, 0.0))])
+    t2 = (1.0 - s) * safe_sqrt(1.0 - t1 * t1) + s * t2
+    disk_n = jnp.stack([t1, t2, safe_sqrt(1.0 - t1 * t1 - t2 * t2)])
     from lajolla_tpu.core.math import make_frame
     fr = make_frame(hemi_dir_in)
     hemi_n = to_world(fr, disk_n)

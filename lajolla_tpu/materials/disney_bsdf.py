@@ -7,6 +7,7 @@ lobe weights :211-215, sampling :403-431, inside-surface glass-only
 import jax.numpy as jnp
 
 from lajolla_tpu.core.math import dot, luminance, normalize, to_local, to_world
+from lajolla_tpu.core.math import safe_sqrt
 from lajolla_tpu.materials import SampleRec
 from lajolla_tpu.materials.common import (PI, TWO_PI, fresnel_dielectric,
                                           gtr2_aniso, sample_cos_hemisphere,
@@ -148,7 +149,7 @@ def eval(scene, mat_id, dir_in, dir_out, hit, adjoint):
         4.0 * n_dot_in_g, 1e-20)
     h_dot_out_g = dot(h, dir_out)
     denom = (h_dot_in + eta * h_dot_out_g) ** 2
-    f_glass_t = (jnp.sqrt(jnp.maximum(base_color, 0.0)) * (1.0 - F) * D * Gg *
+    f_glass_t = (safe_sqrt(base_color) * (1.0 - F) * D * Gg *
                  jnp.abs(h_dot_out_g * h_dot_in) /
                  jnp.maximum(n_dot_in_g * denom, 1e-20))
     f_glass = jnp.where(reflect, f_glass_r, f_glass_t)
@@ -238,7 +239,7 @@ def sample(scene, mat_id, dir_in, hit, u2, w, adjoint):
     h_dot_out_sq = 1.0 - (1.0 - h_dot_in * h_dot_in) / (eta * eta)
     tir = h_dot_out_sq <= 0
     h_flip = jnp.where(h_dot_in < 0, -h_g, h_g)
-    h_dot_out = jnp.sqrt(jnp.maximum(h_dot_out_sq, 0.0))
+    h_dot_out = safe_sqrt(h_dot_out_sq)
     d_glass_t = -dir_in / eta + (jnp.abs(h_dot_in) / eta - h_dot_out) * h_flip
     glass_refl = rand_new <= F
     d_glass = jnp.where(glass_refl, d_glass_r, d_glass_t)
@@ -246,9 +247,9 @@ def sample(scene, mat_id, dir_in, hit, u2, w, adjoint):
     # clearcoat
     a = (1.0 - p['clearcoat_gloss']) * 0.1 + p['clearcoat_gloss'] * 0.001
     a2 = a * a
-    cos_h = jnp.sqrt(jnp.maximum(
-        (1.0 - a2 ** (1.0 - u2[0])) / jnp.maximum(1.0 - a2, 1e-20), 0.0))
-    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    cos_h = safe_sqrt(
+        (1.0 - a2 ** (1.0 - u2[0])) / jnp.maximum(1.0 - a2, 1e-20))
+    sin_h = safe_sqrt(1.0 - cos_h * cos_h)
     azim = TWO_PI * u2[1]
     h_c = to_world(frame_r, normalize(jnp.stack(
         [sin_h * jnp.cos(azim), sin_h * jnp.sin(azim), cos_h])))

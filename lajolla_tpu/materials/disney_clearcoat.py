@@ -5,6 +5,7 @@ the masking calls smith_masking_gtr2 with roughness 0.5 → alpha 0.25)."""
 import jax.numpy as jnp
 
 from lajolla_tpu.core.math import dot, normalize, to_local, to_world
+from lajolla_tpu.core.math import safe_sqrt
 from lajolla_tpu.materials import SampleRec, flip_frame_if_needed
 from lajolla_tpu.materials.common import PI, TWO_PI, smith_masking_gtr2, tex1
 from lajolla_tpu.scene.types import P_CLEARCOAT_GLOSS
@@ -59,9 +60,8 @@ def sample(scene, mat_id, dir_in, hit, u2, w, adjoint):
     gloss = tex1(scene, mat_id, P_CLEARCOAT_GLOSS, hit)
     a = (1.0 - gloss) * 0.1 + gloss * 0.001
     a2 = a * a
-    cos_h = jnp.sqrt(jnp.maximum(
-        (1.0 - a2 ** (1.0 - u2[0])) / (1.0 - a2), 0.0))
-    sin_h = jnp.sqrt(jnp.maximum(1.0 - cos_h * cos_h, 0.0))
+    cos_h = safe_sqrt((1.0 - a2 ** (1.0 - u2[0])) / (1.0 - a2))
+    sin_h = safe_sqrt(1.0 - cos_h * cos_h)
     azimuth = TWO_PI * u2[1]
     local_h = normalize(jnp.stack([sin_h * jnp.cos(azimuth),
                                    sin_h * jnp.sin(azimuth), cos_h]))

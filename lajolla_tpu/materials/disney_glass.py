@@ -7,6 +7,7 @@ verbatim."""
 import jax.numpy as jnp
 
 from lajolla_tpu.core.math import dot, normalize, to_local, to_world
+from lajolla_tpu.core.math import safe_sqrt
 from lajolla_tpu.materials import SampleRec
 from lajolla_tpu.materials.common import (fresnel_dielectric, gtr2_aniso,
                                           sample_visible_normals_aniso,
@@ -51,7 +52,7 @@ def eval(scene, mat_id, dir_in, dir_out, hit, adjoint):
                                                     1e-20)
     h_dot_out = dot(h, dir_out)
     denom = (h_dot_in + eta * h_dot_out) ** 2
-    f_trans = (jnp.sqrt(jnp.maximum(base_color, 0.0)) * (1.0 - F) * D * G *
+    f_trans = (safe_sqrt(base_color) * (1.0 - F) * D * G *
                jnp.abs(h_dot_out * h_dot_in) /
                jnp.maximum(n_dot_in_abs * denom, 1e-20))
     return jnp.where(reflect, f_refl, f_trans)
@@ -90,7 +91,7 @@ def sample(scene, mat_id, dir_in, hit, u2, w, adjoint):
     h_dot_out_sq = 1.0 - (1.0 - h_dot_in * h_dot_in) / (eta * eta)
     tir = h_dot_out_sq <= 0
     h_flip = jnp.where(h_dot_in < 0, -h, h)
-    h_dot_out = jnp.sqrt(jnp.maximum(h_dot_out_sq, 0.0))
+    h_dot_out = safe_sqrt(h_dot_out_sq)
     refracted = -dir_in / eta + (jnp.abs(h_dot_in) / eta - h_dot_out) * h_flip
     take_refl = w <= F
     return SampleRec(

@@ -6,6 +6,7 @@ Fresnel-driven reflect/refract lobe choice."""
 import jax.numpy as jnp
 
 from lajolla_tpu.core.math import dot, normalize, to_local, to_world
+from lajolla_tpu.core.math import safe_sqrt
 from lajolla_tpu.materials import SampleRec
 from lajolla_tpu.materials.common import (fresnel_dielectric, ggx_d,
                                           sample_visible_normals,
@@ -100,7 +101,7 @@ def sample(scene, mat_id, dir_in, hit, u2, w, adjoint):
     h_dot_out_sq = 1.0 - (1.0 - h_dot_in * h_dot_in) / (eta * eta)
     tir = h_dot_out_sq <= 0
     h_flip = jnp.where(h_dot_in < 0, -h, h)
-    h_dot_out = jnp.sqrt(jnp.maximum(h_dot_out_sq, 0.0))
+    h_dot_out = safe_sqrt(h_dot_out_sq)
     refracted = -dir_in / eta + (jnp.abs(h_dot_in) / eta - h_dot_out) * h_flip
 
     take_refl = w <= F
