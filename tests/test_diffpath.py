@@ -249,6 +249,45 @@ def test_roughness_gradient_forward_mode():
     assert g25 == pytest.approx(-0.00561, rel=0.05), g25
 
 
+def test_sigma_recovery():
+    """Inverse volumetric rendering: recover the medium's absorption
+    scale from a target image by gradient descent on the v2
+    single-scattering estimator."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from lajolla_tpu.integrators.diffpath import render_volpath_diff
+    from lajolla_tpu.integrators.media import MT_SA
+
+    scene, opts = _volpath2_scene(24)
+
+    def render_with(s):
+        med = scene.med_tab.at[:, MT_SA:MT_SA + 6].mul(s)
+        return render_volpath_diff(
+            dataclasses.replace(scene, med_tab=med), opts, seed=5,
+            spp=16)
+
+    target = render_with(jnp.float32(1.0))
+
+    @jax.jit
+    def loss_and_grad(s):
+        return jax.value_and_grad(
+            lambda s: jnp.mean((render_with(s) - target) ** 2))(s)
+
+    s = jnp.float32(0.4)
+    tx = optax.adam(0.05)
+    ost = tx.init(s)
+    l0 = float(loss_and_grad(s)[0])
+    for _ in range(80):
+        l, g = loss_and_grad(s)
+        upd, ost = tx.update(g, ost)
+        s = jnp.clip(s + upd, 0.05, 3.0)
+    # deterministic (fixed stream): measured s = 0.9867, loss ratio
+    # 1.5e-3 at 80 steps while landing this
+    assert float(loss_and_grad(s)[0]) < 1e-2 * l0
+    assert float(s) == pytest.approx(1.0, abs=0.05), float(s)
+
+
 def test_albedo_recovery():
     import jax
     import jax.numpy as jnp
