@@ -56,6 +56,31 @@ def test_queue_lane_steps_cbox():
     assert s["lane_steps_per_path"] <= 7.91 * 1.10, s
 
 
+def test_queue_lane_steps_veach():
+    """veach_mi (fused-class, depth-2 MIS scene): 2.0 lane-steps/path
+    measured r4 at 64x48 @4spp — the queue is already optimal here
+    (every lane dies at the depth limit); guards against regressions
+    that keep dead lanes resident."""
+    import lajolla_tpu.integrators.path as P
+    scene, opts = _lowres(f"{REF}/veach_mi/mi.xml", 64, 48)
+    opts = dataclasses.replace(opts, samples_per_pixel=4)
+    P._render_block_drained(scene, opts, 0, 0, 4, 64 * 48)
+    s = dict(P.QUEUE_STATS)
+    assert s["lane_steps_per_path"] <= 2.0 * 1.10, s
+
+
+def test_volpath_queue_lane_steps_vol_cbox():
+    """vol_cbox through the volpath wavefront + cascade drain: 8.83
+    lane-steps/path measured r4 at 48x48 @2spp (homogeneous medium,
+    closed-form free flight — one event per bounce)."""
+    import lajolla_tpu.integrators.volpath as V
+    scene, opts = _lowres(f"{REF}/volpath_test/vol_cbox.xml", 48, 48)
+    opts = dataclasses.replace(opts, samples_per_pixel=2)
+    V._render_volpath_block_drained(scene, opts, 0, 0, 2, 48 * 48)
+    s = dict(V.QUEUE_STATS)
+    assert s["lane_steps_per_path"] <= 8.84 * 1.10, s
+
+
 def test_queue_lane_steps_matpreview(matpreview):
     """Binned-scene queue occupancy (the matpreview class the sweep
     caster serves): 7.96 lane-steps/path measured r4 at 48x36 @1spp
