@@ -29,6 +29,14 @@ import pytest
 from lajolla_tpu.scene.parser import parse_scene_to_builder
 from lajolla_tpu.scene.compile import compile_scene
 
+# The counts are platform-independent (counter-hashed RNG, host
+# telemetry), so running these on the real TPU only spends remote
+# compile time (~minutes per queue shape) and sustained-occupancy risk
+# on the shared worker — CPU-only by design.
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == 'tpu',
+    reason='CPU-only: deterministic platform-independent counts')
+
 REF = "/root/reference/scenes"
 
 
