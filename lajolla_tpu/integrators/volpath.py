@@ -1317,6 +1317,17 @@ VOL_SPP_BLOCK = 4
 VOL_LANES = 131072
 GRID_LANES = 16384     # grid-media pool (worker-stability bound; see
                        # render_volpath chunking)
+VOLK_SPP_BLOCK = 64    # fused vol kernel: ~30+ Mpaths/s per launch —
+                       # large blocks amortize dispatch + film readback
+                       # (path.py KERNEL_SPP_BLOCK rationale)
+
+
+def _use_vol_kernel(scene):
+    from lajolla_tpu.integrators import volpath_kernel
+    n = scene.meta.width * scene.meta.height
+    return (jax.default_backend() == 'tpu' and
+            volpath_kernel.supports(scene.meta) and
+            n % volpath_kernel.BLOCK == 0)
 
 
 def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
@@ -1332,6 +1343,9 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     # launches (the lockstep inner loop can run hundreds of iterations)
     lanes = min(GRID_LANES if scene.meta.has_grid_volumes else VOL_LANES, n)
     spp_block = 1 if scene.meta.has_grid_volumes else VOL_SPP_BLOCK
+    use_kernel = (not simple) and _use_vol_kernel(scene)
+    if use_kernel:
+        spp_block = VOLK_SPP_BLOCK
 
     img, spp_done = None, 0
     if checkpoint:
@@ -1351,6 +1365,21 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
             block = _render_volpath_simple_block(scene, options, seed, s0,
                                                  ns, 0, n)
             img += np.asarray(block)
+        elif use_kernel:
+            from lajolla_tpu.integrators.volpath_kernel import \
+                render_fused_vol
+            try:
+                img += np.asarray(render_fused_vol(
+                    scene, options, seed, s0, ns)).reshape(n, 3)
+            except Exception as e:       # pragma: no cover - TPU only
+                # Mosaic compile failure must not kill an unattended
+                # render: fall back to the general engine permanently
+                import sys
+                print(f"volpath_kernel failed ({e}); falling back to the "
+                      "general engine", file=sys.stderr)
+                use_kernel = False
+                spp_block = VOL_SPP_BLOCK
+                continue
         elif chunk is None:
             img += _render_volpath_block_drained(scene, options, seed,
                                                  s0, ns, lanes)

@@ -904,6 +904,12 @@ def compile_scene(b):
             (T.MED_HETEROGENEOUS in med_present and
              svox_data[:, 4:7].max() > 1e-4 * max(svox_data[:, :3].max(),
                                                   1e-20))),
+        uniform_medium=bool(
+            len(b.media) == 1 and med_present == (T.MED_HOMOGENEOUS,) and
+            cam.medium_id == 0 and len(b.shapes) > 0 and
+            (shape_ext_med[:len(b.shapes)] == 0).all() and
+            (shape_int_med[:len(b.shapes)] == -1).all() and
+            (shape_material[:len(b.shapes)] >= 0).all()),
     )
 
     return Scene(

@@ -125,6 +125,13 @@ class SceneMeta:
     # or homogeneous lanes sharing the heterogeneous event machine);
     # False lets volpath compile the plain zero-control tracking loop
     svox_ctrl: bool = False
+    # ONE homogeneous medium fills the whole scene: camera medium == 0,
+    # every shape opaque (material >= 0) with exterior == 0 and no
+    # interior. The medium id can never change along any path, so the
+    # fused volumetric megakernel (integrators/volpath_kernel.py) bakes
+    # it in (the vol_cbox class; vol_path_tracing.h:503-869 with its
+    # update_medium calls statically the identity)
+    uniform_medium: bool = False
 
 
 @dataclass(frozen=True)
