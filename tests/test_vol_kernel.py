@@ -56,6 +56,105 @@ def test_vol_kernel_matches_general_engine(spp, seed, max_depth):
     assert abs(img_k.mean() - img_s.mean()) / img_s.mean() < 1e-4
 
 
+_QUAD_OBJ = """v -1 {y} -1
+v 1 {y} -1
+v 1 {y} 1
+v -1 {y} 1
+f 1 2 3
+f 1 3 4
+"""
+
+_SPHERE_SCENE = """<?xml version="1.0"?>
+<scene version="0.5.0">
+  <integrator type="volpath">
+    <integer name="maxDepth" value="-1"/>
+    <integer name="version" value="6"/>
+  </integrator>
+  <medium type="homogeneous" id="med">
+    <rgb name="sigmaA" value="0.02 0.03 0.02"/>
+    <rgb name="sigmaS" value="0.08 0.06 0.09"/>
+  </medium>
+  <sensor type="perspective">
+    <float name="fov" value="45"/>
+    <transform name="toWorld">
+      <lookAt origin="0, 1, 4" target="0, 0.3, 0" up="0, 1, 0"/>
+    </transform>
+    <sampler type="independent"><integer name="sampleCount" value="4"/></sampler>
+    <film type="hdrfilm">
+      <integer name="width" value="64"/><integer name="height" value="64"/>
+      <rfilter type="box"/>
+    </film>
+    <ref id="med"/>
+  </sensor>
+  <bsdf type="diffuse" id="white"><rgb name="reflectance" value="0.7 0.7 0.7"/></bsdf>
+  <bsdf type="diffuse" id="red"><rgb name="reflectance" value="0.8 0.3 0.2"/></bsdf>
+  <shape type="sphere">
+    <float name="radius" value="0.6"/>
+    <point name="center" x="0" y="0.3" z="0"/>
+    <ref id="red"/>
+    <ref name="exterior" id="med"/>
+  </shape>
+  <shape type="obj">
+    <string name="filename" value="floor.obj"/>
+    <ref id="white"/>
+    <ref name="exterior" id="med"/>
+  </shape>
+  <shape type="obj">
+    <string name="filename" value="light.obj"/>
+    <ref id="white"/>
+    <emitter type="area"><rgb name="radiance" value="6 6 6"/></emitter>
+    <ref name="exterior" id="med"/>
+  </shape>
+</scene>
+"""
+
+
+def test_vol_kernel_sphere_branch(tmp_path):
+    """S > 0 compilation path: sphere geometry + sphere closest-hit /
+    any-hit inside the fused vol kernel, uniform homogeneous medium.
+    No corpus scene combines spheres with the uniform-medium class, so
+    this synthetic scene (sphere on a floor under a quad area light,
+    all submerged) pins it against the general engine per pixel."""
+    import lajolla_tpu.integrators.volpath as VP
+    import lajolla_tpu.integrators.volpath_kernel as VK
+    from lajolla_tpu.scene.parser import parse_scene
+
+    (tmp_path / 'floor.obj').write_text(_QUAD_OBJ.format(y=-0.3))
+    # light quad faces DOWN (reversed winding)
+    light = _QUAD_OBJ.format(y=2.0).replace('f 1 2 3', 'f 3 2 1').replace(
+        'f 1 3 4', 'f 4 3 1')
+    (tmp_path / 'light.obj').write_text(light)
+    xml = tmp_path / 'scene.xml'
+    xml.write_text(_SPHERE_SCENE)
+    scene, options = parse_scene(str(xml))
+    assert scene.meta.num_spheres == 1
+    assert scene.meta.uniform_medium
+    assert VK.supports(scene.meta)
+    spp = 32
+    old = VK.INTERPRET
+    VK.INTERPRET = True
+    try:
+        img_k = np.asarray(VK.render_fused_vol(scene, options, 0, 0,
+                                               spp)) / spp
+    finally:
+        VK.INTERPRET = old
+    img_s = np.asarray(VP._render_volpath_block(
+        scene, options, 0, 0, spp, None)[0]).reshape(64, 64, 3) / spp
+    assert np.isfinite(img_k).all()
+    assert img_s.mean() > 1e-3          # scene actually lit
+    # sphere pixels diverge chaotically (kernel quadratic vs general
+    # caster fp detail — same as the surface kernel on veach); non-
+    # sphere pixels stay exact and the estimator agrees statistically:
+    # measured d8 error 0.057 vs 0.227 seed-to-seed spread at 32 spp
+    rel = np.abs(img_k - img_s) / (img_s + 1e-3)
+    assert np.median(rel) < 1e-5
+    a = img_k.reshape(8, 8, 8, 8, 3).mean((1, 3))
+    b = img_s.reshape(8, 8, 8, 8, 3).mean((1, 3))
+    d8 = np.sqrt(((a - b) ** 2).mean()) / b.mean()
+    assert d8 < 0.12                    # ~2x measured, < half seed noise
+    assert abs(img_k.mean() - img_s.mean()) / img_s.mean() < 0.01
+
+
 def test_vol_kernel_gate():
     """supports() only fires for the uniform-homogeneous class."""
     import lajolla_tpu.integrators.volpath_kernel as VK
