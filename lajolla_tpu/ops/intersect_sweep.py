@@ -70,6 +70,9 @@ LIST_B = 512             # rays per block for the resident kernel.
                          # 99 -> 82 (sponza), with entries/128-rays
                          # down 4x. Gated by the per-128-ray proxy pins
                          # in tests/test_perf_proxies.py.
+CPI = 2                  # clusters per resident-sweep loop iteration
+                         # (statically unrolled; use 1, 2, 4 or 8 —
+                         # the break-cap refresh cadence assumes CPI | 8)
 LIST_LEN = 192           # per-block worklist capacity (overflow ->
                          # full-K sweep for that block; keeps the SMEM
                          # prefetch footprint at R*LIST_LEN words)
@@ -297,25 +300,42 @@ def _kernel_res(counts_ref, clist_ref, tlist_ref, ray_ref, A_ref,
         return jax.lax.cond(pred, val, lambda: tcap)
 
     def body_pairs(carry):
+        # CPI statically-unrolled clusters per iteration (default 2:
+        # round-3 anatomy measured per-iteration bookkeeping ~60% of a
+        # pair — scalar list loads, dynamic-index setup, t_o RMW, the
+        # cross-lane break reduce; unrolling amortizes it over more
+        # useful work at the cost of testing up to CPI-1 clusters past
+        # the break point). Result-identical for any CPI: the list
+        # order is fixed, the tail duplicates its last cluster
+        # (idempotent for min-reduction), and a stale break cap only
+        # ever tests MORE clusters, never fewer than correctness needs.
         it, tcap = carry
         best = t_o[:]                                      # (B, 1)
         lim = jnp.minimum(best, tfar)
-        kid0 = clist_ref[i, jnp.minimum(it, L - 1)]
-        # odd tail: duplicate the last cluster (same min, no branch)
-        kid1 = clist_ref[i, jnp.minimum(
-            jnp.minimum(it + 1, n_it - 1), L - 1)]
-        tb0 = test_one(kid0, lim)
-        tb1 = test_one(kid1, lim)
-        tbn = jnp.minimum(tb0, tb1)
+        tbn = None
+        kwin = None
+        for j in range(CPI):
+            kid = clist_ref[i, jnp.minimum(it, L - 1)] if j == 0 else \
+                clist_ref[i, jnp.minimum(jnp.minimum(it + j, n_it - 1),
+                                         L - 1)]
+            tb = test_one(kid, lim)
+            if tbn is None:
+                tbn, kwin = tb, kid.astype(jnp.float32)
+            else:
+                if not any_hit:
+                    kwin = jnp.where(tb < tbn, kid.astype(jnp.float32),
+                                     kwin)
+                tbn = jnp.minimum(tbn, tb)
         better = tbn < best
         nbest = jnp.where(better, tbn, best)
         t_o[:] = nbest
         if not any_hit:
-            kwin = jnp.where(tb1 < tb0, kid1.astype(jnp.float32),
-                             kid0.astype(jnp.float32))
             k_o[:] = jnp.where(better, kwin, k_o[:])
-        ncap = cap_refresh(jax.lax.rem(it, 8) == 6, nbest, tcap)
-        return it + 2, ncap
+        # refresh the break cap once per ~8 clusters (exact for CPI
+        # dividing 8; see cap_refresh)
+        ncap = cap_refresh(jax.lax.rem(it, 8) == (8 - CPI) % 8,
+                           nbest, tcap)
+        return it + CPI, ncap
 
     def body_super(carry):
         # overflow blocks: one SUPERCLUSTER per iteration (GROUP member
