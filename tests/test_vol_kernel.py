@@ -165,6 +165,29 @@ def test_vol_kernel_gate():
     assert not VK.supports(s_cbox.meta)         # no medium at all
 
 
+def test_vol_kernel_fallback(monkeypatch):
+    """A Mosaic compile failure in the kernel must not kill an
+    unattended render: render_volpath falls back to the general engine
+    for the whole run (volpath.py kernel branch)."""
+    import lajolla_tpu.integrators.volpath as VP
+    import lajolla_tpu.integrators.volpath_kernel as VK
+    from lajolla_tpu.scene.parser import parse_scene
+
+    scene, options = parse_scene(f'{REF}/volpath_test/vol_cbox.xml')
+    scene = dataclasses.replace(
+        scene, meta=dataclasses.replace(scene.meta, width=16, height=16))
+    options = dataclasses.replace(options, samples_per_pixel=2)
+    monkeypatch.setattr(VP, '_use_vol_kernel', lambda s: True)
+
+    def boom(*a, **k):
+        raise RuntimeError('mosaic says no')
+    monkeypatch.setattr(VK, 'render_fused_vol', boom)
+    img = np.asarray(VP.render_volpath(scene, options, seed=0))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0
+
+
 @pytest.mark.skipif(
     __import__('jax').default_backend() != 'tpu',
     reason="compiled-Mosaic pin (TPU-only)")
