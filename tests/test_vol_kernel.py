@@ -40,6 +40,11 @@ def _render_both(w, h, spp, seed=0, max_depth=-1):
     return img_k, img_s
 
 
+@pytest.mark.skipif(
+    __import__('jax').default_backend() == 'tpu',
+    reason="interpret-mode semantics duplicate the CPU suite; the "
+           "compiled-Mosaic pin below covers TPU (and the interpret "
+           "program takes minutes to compile through the TPU backend)")
 @pytest.mark.parametrize('spp,seed,max_depth', [
     (4, 0, -1),    # unbounded (the shipped vol_cbox config)
     (2, 3, 3),     # finite depth: the depth_stop + NEE branches
@@ -109,6 +114,11 @@ _SPHERE_SCENE = """<?xml version="1.0"?>
 """
 
 
+@pytest.mark.skipif(
+    __import__('jax').default_backend() == 'tpu',
+    reason="interpret-mode semantics duplicate the CPU suite; the "
+           "compiled-Mosaic pin below covers TPU (and the interpret "
+           "program takes minutes to compile through the TPU backend)")
 def test_vol_kernel_sphere_branch(tmp_path):
     """S > 0 compilation path: sphere geometry + sphere closest-hit /
     any-hit inside the fused vol kernel, uniform homogeneous medium.
