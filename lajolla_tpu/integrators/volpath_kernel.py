@@ -113,11 +113,14 @@ def _pick_ch(ch, v3):
 
 
 def _avg3(v3):
-    return jnp.mean(v3, axis=0, keepdims=True)
+    # explicit slice form (not jnp.mean): same fp result as the general
+    # engine's jnp.mean on (3,) — sum then divide — while staying on
+    # constructs the surface kernels already compile through Mosaic
+    return (v3[0:1] + v3[1:2] + v3[2:3]) / 3.0
 
 
 def _max3(v3):
-    return jnp.max(v3, axis=0, keepdims=True)
+    return jnp.maximum(jnp.maximum(v3[0:1], v3[1:2]), v3[2:3])
 
 
 # ---------------------------------------------------------------------------
