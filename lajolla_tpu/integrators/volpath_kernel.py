@@ -56,6 +56,8 @@ from lajolla_tpu.integrators.path_kernel import (
 from lajolla_tpu.integrators.path_megakernel import (_pcg_hash, _primary,
                                                      _u01)
 
+from lajolla_tpu.scene.types import PHASE_HG as PHASE_HG_TAG
+
 BLOCK = 4096
 INF = float('inf')
 PI = 3.141592653589793
@@ -77,12 +79,13 @@ _IT0 = 0x9E377969   # volpath._uit inner-iteration mixer (it == 0 here)
 
 def supports(meta):
     from lajolla_tpu.scene.types import (MAT_LAMBERTIAN, MAT_ROUGH_PLASTIC,
-                                         PHASE_ISOTROPIC)
+                                         PHASE_HG, PHASE_ISOTROPIC)
     kernel_mats = {MAT_LAMBERTIAN, MAT_ROUGH_PLASTIC}
     return (meta.uniform_medium and
             set(meta.mat_types_present) <= kernel_mats and
             len(meta.mat_types_present) >= 1 and
-            set(meta.phase_types_present) <= {PHASE_ISOTROPIC} and
+            set(meta.phase_types_present) <= {PHASE_ISOTROPIC, PHASE_HG} and
+            len(meta.phase_types_present) == 1 and
             not meta.has_envmap and
             not meta.needs_uv and
             not meta.use_bvh and
@@ -112,6 +115,15 @@ def _pick_ch(ch, v3):
                      jnp.where(ch == 1, v3[1:2], v3[2:3]))
 
 
+def _hg_row(g, c):
+    """Henyey-Greenstein lobe (media._hg / henyeygreenstein.inl). The
+    engine computes the 1.5 power as `** 1.5`; t*sqrt(t) is the same
+    quantity on constructs Mosaic compiles (ulp-level divergence only,
+    absorbed by the statistical HG parity gate)."""
+    t = jnp.maximum(1.0 + g * g + 2.0 * g * c, 1e-20)
+    return INV_4PI * (1.0 - g * g) / jnp.maximum(t * jnp.sqrt(t), 1e-20)
+
+
 def _avg3(v3):
     # explicit slice form (not jnp.mean): same fp result as the general
     # engine's jnp.mean on (3,) — sum then divide — while staying on
@@ -131,17 +143,18 @@ def _max3(v3):
 # ---------------------------------------------------------------------------
 
 def _advance_vol_core(o, d, thr, rad, bounces, dir_pdf, mtp, nee_p, act_in,
-                      hb, sa3, ss3,
+                      hb, sa3, ss3, g1,
                       W, W_occ, tri, triA, triB, qf, qf_occ, light, stair,
                       sph,
                       *, T: int, TC: int, T_OCC: int, L: int, S: int,
-                      mats: tuple, has_quads: bool,
+                      mats: tuple, has_quads: bool, hg: bool,
                       eps_isect: float, eps_shadow: float,
                       max_depth: int, rr_depth: int, max_cap: int):
     """o,d,thr,rad,mtp,nee_p: (3,B); bounces: (1,B) i32; dir_pdf: (1,B);
     act_in: (1,B) bool; hb: (1,B) uint32 per-(item,bounce) stream root;
-    sa3/ss3: (3,B) medium sigma_a/sigma_s. Returns (org', d', thr',
-    rad', dir_pdf', mtp', nee_p', alive)."""
+    sa3/ss3: (3,B) medium sigma_a/sigma_s; g1: scalar HG asymmetry
+    (used when the static `hg` says the single medium's phase is HG).
+    Returns (org', d', thr', rad', dir_pdf', mtp', nee_p', alive)."""
     st3 = sa3 + ss3                                       # sigma_t
     max_maj = jnp.maximum(_max3(st3), 1e-20)              # (1,B)
     ones3 = jnp.ones_like(thr)
@@ -428,11 +441,16 @@ def _advance_vol_core(o, d, thr, rad, bounces, dir_pdf, mtp, nee_p, act_in,
     f_b, pdf_b_sa = _eval_pdf_dispatch(mats, mt, wi, (dlx, dly, dlz),
                                        fn, ng, kd, ks, rough, eta)
     ok = ok & (~do_surface | (pdf_b_sa > 0))
-    # isotropic phase: f == pdf == 1/4pi in every channel
-    f_nee = (jnp.where(do_surface, f_b[0], INV_4PI),
-             jnp.where(do_surface, f_b[1], INV_4PI),
-             jnp.where(do_surface, f_b[2], INV_4PI))
-    pdf_dir_sa = jnp.where(do_surface, pdf_b_sa, INV_4PI)
+    # phase factors: f == pdf for both in-kernel phases (isotropic
+    # 1/4pi; HG evaluates the lobe at dot(dir_view, dir_light))
+    if hg:
+        ph_nee = _hg_row(g1, _dot3(wix, wiy, wiz, dlx, dly, dlz))
+    else:
+        ph_nee = INV_4PI
+    f_nee = (jnp.where(do_surface, f_b[0], ph_nee),
+             jnp.where(do_surface, f_b[1], ph_nee),
+             jnp.where(do_surface, f_b[2], ph_nee))
+    pdf_dir_sa = jnp.where(do_surface, pdf_b_sa, ph_nee)
     pdf_dir = pdf_dir_sa * jac * pd_t                   # (3,B)
     le3 = jnp.concatenate([l_int_r, l_int_g, l_int_b], axis=0)
     le3 = jnp.where(Le_ok, le3, 0.0)
@@ -446,7 +464,9 @@ def _advance_vol_core(o, d, thr, rad, bounces, dir_pdf, mtp, nee_p, act_in,
     rad = rad + jnp.where(do_scatter | do_surface,
                           thr * ss_sel * nee_m, 0.0)
 
-    # ---- phase sampling: isotropic == uniform sphere (:737-784) ---------
+    # ---- phase sampling (:737-784): isotropic == uniform sphere; HG ==
+    # exact inverse-CDF around dir_view with the |g|<1e-3 uniform
+    # fallback (media.phase_sample / henyeygreenstein.inl:26-46) -------
     hph = _pcg_hash(hb + jnp.uint32(_S_PHASE))
     up0 = _u(hph, 0)
     up1 = _u(hph, 1)
@@ -456,8 +476,31 @@ def _advance_vol_core(o, d, thr, rad, bounces, dir_pdf, mtp, nee_p, act_in,
     pdx = rp * jnp.cos(php)
     pdy = rp * jnp.sin(php)
     pdz = zp
-    # T_scatter = T · (f/pdf) · sigma_s with f/pdf == 1 exactly (iso)
-    thr_sc = thr * ss3
+    if hg:
+        g_safe = jnp.where(jnp.abs(g1) < 1e-3, 1.0, g1)
+        tmp = (g_safe * g_safe - 1.0) / \
+            (2.0 * up0 * g_safe - (g_safe + 1.0))
+        cos_el = (tmp * tmp - (1.0 + g_safe * g_safe)) / (2.0 * g_safe)
+        sin_el = jnp.sqrt(jnp.maximum(1.0 - cos_el * cos_el, 0.0))
+        az = TWO_PI * up1
+        ptx, pty, ptz, pbx, pby, pbz = _onb(wix, wiy, wiz)
+        sc = sin_el * jnp.cos(az)
+        ssn = sin_el * jnp.sin(az)
+        hgx = sc * ptx + ssn * pbx + cos_el * wix
+        hgy = sc * pty + ssn * pby + cos_el * wiy
+        hgz = sc * ptz + ssn * pbz + cos_el * wiz
+        use_u = jnp.abs(g1) < 1e-3
+        pdx = jnp.where(use_u, pdx, hgx)
+        pdy = jnp.where(use_u, pdy, hgy)
+        pdz = jnp.where(use_u, pdz, hgz)
+        ph_pdf = _hg_row(g1, _dot3(wix, wiy, wiz, pdx, pdy, pdz))
+        # T_scatter = T · (f/pdf) · sigma_s, f == pdf (the engine form
+        # keeps the clamp: hg/max(hg, 1e-30))
+        thr_sc = thr * (ph_pdf / jnp.maximum(ph_pdf, 1e-30)) * ss3
+    else:
+        ph_pdf = INV_4PI
+        # f/pdf == 1 exactly for isotropic
+        thr_sc = thr * ss3
 
     # ---- surface interaction (:786-848) ---------------------------------
     hbs = _pcg_hash(hb + jnp.uint32(_S_BSDF))
@@ -488,7 +531,7 @@ def _advance_vol_core(o, d, thr, rad, bounces, dir_pdf, mtp, nee_p, act_in,
                                  d))
     thr = jnp.where(do_scatter, thr_sc,
                     jnp.where(do_surface, thr_sf, thr))
-    dir_pdf = jnp.where(do_scatter, INV_4PI, dir_pdf)
+    dir_pdf = jnp.where(do_scatter, ph_pdf, dir_pdf)
     mtp = jnp.where(do_scatter, ones3, mtp)
 
     # ---- russian roulette (:851-862) -------------------------------------
@@ -562,8 +605,8 @@ def _kernel(su_ref, s0_ref, cam_ref, med_ref,
                            bounces, jnp.uint32) ^ su))
         org2, d2, thr2, rad2, dp2, mtp2, np2, alive = _advance_vol_core(
             org, d, thr, rad, bounces, dir_pdf, mtp, nee_p, act, hb,
-            sa3, ss3, woop, woop_occ, tri, triA, triB, qf, qf_occ,
-            light, stair, sph, **statics)
+            sa3, ss3, med[6], woop, woop_occ, tri, triA, triB, qf,
+            qf_occ, light, stair, sph, **statics)
         died = act & ~alive
         fin = jnp.all(jnp.isfinite(rad2), axis=0, keepdims=True)
         film = film + jnp.where(died & fin, rad2, 0.0)
@@ -618,6 +661,7 @@ def render_fused_vol(scene, options, seed, s0, nspp):
         T=T, TC=TC, T_OCC=T_OCC, L=L, S=S,
         mats=scene.meta.mat_types_present,
         has_quads=scene.meta.has_quads,
+        hg=scene.meta.phase_types_present == (PHASE_HG_TAG,),
         eps_isect=intersection_eps(scene.meta.scene_radius),
         eps_shadow=shadow_eps(scene.meta.scene_radius),
         max_depth=options.max_depth, rr_depth=options.rr_depth,

@@ -165,6 +165,55 @@ def test_vol_kernel_sphere_branch(tmp_path):
     assert abs(img_k.mean() - img_s.mean()) / img_s.mean() < 0.01
 
 
+@pytest.mark.skipif(
+    __import__('jax').default_backend() == 'tpu',
+    reason="interpret-mode semantics duplicate the CPU suite; the "
+           "compiled-Mosaic pin below covers TPU (and the interpret "
+           "program takes minutes to compile through the TPU backend)")
+def test_vol_kernel_hg_phase(tmp_path):
+    """HG phase in the fused kernel (exact inverse-CDF sampling, lobe
+    eval in NEE and emissive MIS). The kernel computes the HG 1.5 power
+    as t*sqrt(t) vs the engine's `** 1.5` (ulp-level), so assertions
+    are statistical like the sphere branch."""
+    import lajolla_tpu.integrators.volpath as VP
+    import lajolla_tpu.integrators.volpath_kernel as VK
+    from lajolla_tpu.scene.parser import parse_scene
+
+    (tmp_path / 'floor.obj').write_text(_QUAD_OBJ.format(y=-0.3))
+    light = _QUAD_OBJ.format(y=2.0).replace('f 1 2 3', 'f 3 2 1').replace(
+        'f 1 3 4', 'f 4 3 1')
+    (tmp_path / 'light.obj').write_text(light)
+    xml = tmp_path / 'scene.xml'
+    hg_scene = _SPHERE_SCENE.replace(
+        '<rgb name="sigmaS" value="0.08 0.06 0.09"/>',
+        '<rgb name="sigmaS" value="0.2 0.18 0.22"/>\n'
+        '    <phase type="hg"><float name="g" value="0.4"/></phase>')
+    xml.write_text(hg_scene)
+    scene, options = parse_scene(str(xml))
+    from lajolla_tpu.scene.types import PHASE_HG
+    assert scene.meta.phase_types_present == (PHASE_HG,)
+    assert VK.supports(scene.meta)
+    spp = 32
+    old = VK.INTERPRET
+    VK.INTERPRET = True
+    try:
+        img_k = np.asarray(VK.render_fused_vol(scene, options, 0, 0,
+                                               spp)) / spp
+    finally:
+        VK.INTERPRET = old
+    img_s = np.asarray(VP._render_volpath_block(
+        scene, options, 0, 0, spp, None)[0]).reshape(64, 64, 3) / spp
+    assert np.isfinite(img_k).all()
+    assert img_s.mean() > 1e-3
+    rel = np.abs(img_k - img_s) / (img_s + 1e-3)
+    assert np.median(rel) < 1e-4
+    a = img_k.reshape(8, 8, 8, 8, 3).mean((1, 3))
+    b = img_s.reshape(8, 8, 8, 8, 3).mean((1, 3))
+    d8 = np.sqrt(((a - b) ** 2).mean()) / b.mean()
+    assert d8 < 0.12
+    assert abs(img_k.mean() - img_s.mean()) / img_s.mean() < 0.01
+
+
 def test_vol_kernel_gate():
     """supports() only fires for the uniform-homogeneous class."""
     import lajolla_tpu.integrators.volpath_kernel as VK
