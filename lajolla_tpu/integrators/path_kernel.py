@@ -121,6 +121,8 @@ def _intersect(o, d, tnear, tfar, W, T, qf):
     quads — skips the flag selects and returns qb == 0). Returns (t_best
     (1,B), sel (T,B) one-hot, u (1,B), v (1,B), qb (1,B) winner-is-quad)
     — u/v in the REP triangle's frame (caller remaps u+v>1 quad hits)."""
+    if CLOSEST_DIVFREE and tfar is None:
+        return _intersect_divfree(o, d, tnear, W, T, qf)
     t, u, v = _woop_tuv(o, d, W, T)
     hit = _hit_mask(t, u, v, tnear, tfar, qf)
     t = jnp.where(hit, t, INF)
@@ -142,6 +144,94 @@ def _intersect(o, d, tnear, tfar, W, T, qf):
 OCC_DIVFREE = True  # division-free shadow predicate (A/B'd on TPU; the
                     # (T, B) f32 divide is the costliest elementwise op
                     # in the any-hit sweep and a boolean needs none)
+
+CLOSEST_DIVFREE = False  # division-free CLOSEST cast: hit tests as sign
+                         # predicates (like OCC_DIVFREE) and the t-min
+                         # as a cross-multiplied tournament over (w, dz)
+                         # pairs flipped to dz >= 0 — ONE divide per
+                         # lane for the winner instead of (T, B).
+                         # Winner t is bit-identical ((-w)/(-d) rounds
+                         # like w/d); near-ties can pick a prim whose t
+                         # differs by an ulp, so engine-parity tests
+                         # stay statistical when this is on. Default off
+                         # until the TPU A/B (/root/work/divfree_ab.py).
+
+
+def _intersect_divfree(o, d, tnear, W, T, qf):
+    """Closest hit over the cast table with NO (T, B) divide. Returns
+    the same (t_best, sel, ub, vb, qb) as _intersect (tfar == None
+    form). See CLOSEST_DIVFREE."""
+    def contract(A, vec, with_bias):
+        r = (A[:, 0:1] * vec[0:1, :] + A[:, 1:2] * vec[1:2, :] +
+             A[:, 2:3] * vec[2:3, :])
+        if with_bias:
+            r = r + A[:, 3:4]
+        return r
+
+    Az, Ax, Ay = W[0:T], W[T:2 * T], W[2 * T:3 * T]
+    oz = contract(Az, o, True)
+    dz = contract(Az, d, False)
+    ox = contract(Ax, o, True)
+    dx = contract(Ax, d, False)
+    oy = contract(Ay, o, True)
+    dy = contract(Ay, d, False)
+    w = -oz
+    U = ox * dz + w * dx                  # u = U/dz, v = V/dz
+    V = oy * dz + w * dy
+    if qf is None:
+        lim_ok = (U + V - dz) * dz <= 0.0
+    else:
+        lim_ok = jnp.where(qf > 0.0,
+                           ((U - dz) * dz <= 0.0) & ((V - dz) * dz <= 0.0),
+                           (U + V - dz) * dz <= 0.0)
+    hit = ((U * dz >= 0.0) & (V * dz >= 0.0) & lim_ok &
+           ((w - tnear * dz) * dz > 0.0))
+    # orient every fraction to positive denominator; misses -> (1, 0)
+    # (acts as +inf in the cross-multiplied order)
+    neg = dz < 0.0
+    wp = jnp.where(hit, jnp.where(neg, -w, w), 1.0)
+    dp = jnp.where(hit, jnp.where(neg, -dz, dz), 0.0)
+    # tournament min: pad T to a power of two with +inf rows
+    n = 1
+    while n < T:
+        n *= 2
+    if n > T:
+        pad_w = jnp.ones((n - T, wp.shape[1]), wp.dtype)
+        pad_d = jnp.zeros((n - T, dp.shape[1]), dp.dtype)
+        wt = jnp.concatenate([wp, pad_w], axis=0)
+        dt = jnp.concatenate([dp, pad_d], axis=0)
+    else:
+        wt, dt = wp, dp
+    while n > 1:
+        h = n // 2
+        wa, wb_ = wt[:h], wt[h:n]
+        da, db_ = dt[:h], dt[h:n]
+        less = wa * db_ < wb_ * da        # a < b with positive denoms
+        wt = jnp.where(less, wa, wb_)
+        dt = jnp.where(less, da, db_)
+        n = h
+    w_best, d_best = wt, dt               # (1, B)
+    t_best = jnp.where(d_best > 0.0,
+                       w_best / jnp.where(d_best > 0.0, d_best, 1.0),
+                       INF)
+    # winner one-hot: exact rational tie with the winning fraction
+    sel = hit & (wp * d_best == w_best * dp)
+    iota = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+    first = jnp.min(jnp.where(sel, iota, T), axis=0, keepdims=True)
+    sel = sel & (iota == first)
+    # winner's u, v (and quad flag) via one-hot sums; 2 divides per lane
+    Uw = jnp.sum(jnp.where(sel, U, 0.0), axis=0, keepdims=True)
+    Vw = jnp.sum(jnp.where(sel, V, 0.0), axis=0, keepdims=True)
+    dzw = jnp.sum(jnp.where(sel, dz, 0.0), axis=0, keepdims=True)
+    safe = jnp.where(jnp.abs(dzw) > 0.0, dzw, 1.0)
+    ub = Uw / safe
+    vb = Vw / safe
+    if qf is None:
+        qb = jnp.zeros_like(ub)
+    else:
+        qb = jnp.sum(jnp.where(sel, jnp.broadcast_to(qf, sel.shape), 0.0),
+                     axis=0, keepdims=True)
+    return t_best, sel, ub, vb, qb
 
 
 def _occluded(o, d, tnear, tfar, W, T, qf):

@@ -164,3 +164,35 @@ def test_render_block_kernel_dispatch(monkeypatch):
     assert img.shape == (h, w, 3) and calls == ['fused']
     img = P._render_block(scene, options, 0, 0, 4, lanes=n // 2)
     assert img.shape == (h, w, 3) and calls == ['fused', 'kernel']
+
+
+def test_closest_divfree_matches_dividing_form():
+    """CLOSEST_DIVFREE (cross-multiplied tournament min, one divide per
+    lane) against the dividing closest cast on cbox interior rays: same
+    hit set, t to ~1e-7 relative, winners identical except rational
+    near-ties (<1%)."""
+    import jax.numpy as jnp
+    import lajolla_tpu.integrators.path_kernel as PK
+    from lajolla_tpu.scene.parser import parse_scene
+
+    scene, _ = parse_scene(os.path.join(REF, 'cbox/cbox.xml'))
+    W = PK._woop_mat(scene.fp_woop)
+    TC = scene.fp_woop.shape[0]
+    qf = jnp.asarray(scene.cast_quad[:, None])
+    rng = np.random.default_rng(1)
+    o = jnp.asarray(np.float32(
+        rng.uniform([0, 0, 0], [550, 550, 550], (2048, 3))).T)
+    d = np.float32(rng.normal(size=(2048, 3)))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.T)
+    a = PK._intersect(o, d, 1e-3, None, W, TC, qf)
+    b = PK._intersect_divfree(o, d, 1e-3, W, TC, qf)
+    ta, tb = np.asarray(a[0]), np.asarray(b[0])
+    assert (np.isfinite(ta) == np.isfinite(tb)).all()
+    m = np.isfinite(ta)
+    assert np.allclose(ta[m], tb[m], rtol=1e-5)
+    same = (np.asarray(a[1]) == np.asarray(b[1])).all(axis=0)
+    assert same.mean() > 0.99
+    for i in (2, 3):
+        xa, xb = np.asarray(a[i])[0], np.asarray(b[i])[0]
+        assert np.abs(xa - xb)[same & m[0]].max() < 1e-5
