@@ -107,7 +107,11 @@ def _hit_mask(t, u, v, tnear, tfar, qf=None):
     merging, scene/compile.py _merge_parallelograms)."""
     lim = 1.0 - u - v
     if qf is not None:
-        lim = jnp.where(qf > 0.0, 1.0 - jnp.maximum(u, v), lim)
+        # broadcast the f32 flag to full shape BEFORE comparing: Mosaic
+        # rejects selects whose i1 condition is a (T, 1) broadcast
+        # ("unsupported target bitwidth for truncation")
+        qfb = jnp.broadcast_to(qf, u.shape)
+        lim = jnp.where(qfb > 0.0, 1.0 - jnp.maximum(u, v), lim)
     m = jnp.minimum(jnp.minimum(u, v), lim)
     hit = (m >= 0.0) & (t > tnear)
     if tfar is not None:
@@ -181,9 +185,13 @@ def _intersect_divfree(o, d, tnear, W, T, qf):
     if qf is None:
         lim_ok = (U + V - dz) * dz <= 0.0
     else:
-        lim_ok = jnp.where(qf > 0.0,
-                           ((U - dz) * dz <= 0.0) & ((V - dz) * dz <= 0.0),
-                           (U + V - dz) * dz <= 0.0)
+        # float-valued select with a full-shape condition (Mosaic cannot
+        # broadcast a (T, 1) i1 condition or select between i1 operands)
+        qfb = jnp.broadcast_to(qf, U.shape)
+        lim_val = jnp.where(qfb > 0.0,
+                            jnp.maximum((U - dz) * dz, (V - dz) * dz),
+                            (U + V - dz) * dz)
+        lim_ok = lim_val <= 0.0
     hit = ((U * dz >= 0.0) & (V * dz >= 0.0) & lim_ok &
            ((w - tnear * dz) * dz > 0.0))
     # orient every fraction to positive denominator; misses -> (1, 0)
@@ -276,9 +284,13 @@ def _occluded(o, d, tnear, tfar, W, T, qf):
     if qf is None:
         lim_ok = (U + V - dz) * dz <= 0.0
     else:
-        lim_ok = jnp.where(qf > 0.0,
-                           ((U - dz) * dz <= 0.0) & ((V - dz) * dz <= 0.0),
-                           (U + V - dz) * dz <= 0.0)
+        # float-valued select with a full-shape condition (Mosaic cannot
+        # broadcast a (T, 1) i1 condition or select between i1 operands)
+        qfb = jnp.broadcast_to(qf, U.shape)
+        lim_val = jnp.where(qfb > 0.0,
+                            jnp.maximum((U - dz) * dz, (V - dz) * dz),
+                            (U + V - dz) * dz)
+        lim_ok = lim_val <= 0.0
     hit = ((U * dz >= 0.0) & (V * dz >= 0.0) & lim_ok &
            ((w - tnear * dz) * dz > 0.0))
     if tfar is not None:
