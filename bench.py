@@ -107,7 +107,25 @@ def _backend_probe(timeout=150):
         return False
 
 
+def _acquire_device_lock():
+    """Exclusive device lock shared with tools/perf.py so a leftover
+    perf job can never run concurrently with the official bench again
+    (round 4's BENCH record was contaminated exactly that way)."""
+    import fcntl
+    import os
+    fd = os.open("/tmp/lajolla_tpu_device.lock",
+                 os.O_CREAT | os.O_RDWR, 0o666)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print("bench: waiting for device lock ...", file=sys.stderr,
+              flush=True)
+        fcntl.flock(fd, fcntl.LOCK_EX)
+    return fd
+
+
 def main():
+    _lock = _acquire_device_lock()                    # noqa: F841
     if not _backend_probe():
         print(json.dumps({
             "metric": "cbox_512x512_path_Mpaths_per_sec_per_chip",

@@ -58,7 +58,12 @@ def _kernel(o_ref, d_ref, tn_ref, tf_ref, Ax_ref, Ay_ref, Az_ref,
     oy = contract(Ay, o, True)
     dy = contract(Ay, d, False)
     v = oy + t * dy
-    lim = jnp.where(qf_ref[:] > 0.0, 1.0 - jnp.maximum(u, v),
+    # broadcast the f32 flag to full shape BEFORE comparing: Mosaic
+    # rejects selects whose i1 condition is a (T, 1) broadcast
+    # ("unsupported target bitwidth for truncation") — same fix as
+    # integrators/path_kernel.py _hit_mask
+    qfb = jnp.broadcast_to(qf_ref[:], u.shape)
+    lim = jnp.where(qfb > 0.0, 1.0 - jnp.maximum(u, v),
                     1.0 - u - v)
     hit = ((jnp.abs(dz) > 1e-12) & (u >= 0.0) & (v >= 0.0) &
            (lim >= 0.0) & (t > tnear) & (t < tfar))

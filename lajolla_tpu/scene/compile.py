@@ -31,6 +31,11 @@ BVH_MIN_TRIS = 192
 SVOX_DIVISOR = 8
 SVOX_DIVISOR_MAX = 16
 
+# A/B knob for the parallelogram cast-merge (r4 change, suspected in
+# the cbox 46->39 / veach 57->32 regressions — VERDICT r4 #4). False =
+# cast tables carry raw triangles exactly like r3.
+MERGE_QUADS = True
+
 
 def fov_to_fov_x(fov, fov_axis, width, height):
     """fovAxis → fovX conversion (parse_scene.cpp:536-549), applied at
@@ -72,7 +77,7 @@ def _merge_parallelograms(vertices, indices, num_tris):
     # only the dense brute-family casters consume the cast tables, and
     # they only serve small scenes (use_binned scenes go through the
     # cluster sweep) — skip the host-side edge walk for big meshes
-    if num_tris < 2 or num_tris > 4096:
+    if not MERGE_QUADS or num_tris < 2 or num_tris > 4096:
         return alt, consumed
     P = vertices
     p0 = P[indices[:, 0]]
