@@ -39,6 +39,10 @@ EXTRA_SCENES = [
     # finishes 64 spp in ~16 s)
     ("vol_cbox", f"{REF}/volpath_test/vol_cbox.xml", 64, 1.89),
     ("hetvol", f"{REF}/volpath_test/hetvol.xml", 1, 1.95),
+    # BASELINE.json config #3's Disney half (the combined array scene),
+    # measured r5 via tools/ref_renders.py baselines: 0.0573 Mpaths/s
+    # 1-core x32 (VERDICT r4 missing #2)
+    ("disney_bsdf", f"{REF}/disney_bsdf_test/disney_bsdf.xml", 8, 1.83),
 ]
 
 

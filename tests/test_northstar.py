@@ -102,3 +102,47 @@ def test_matpreview_glass_bias():
     err = rel_rmse_d4(img, g["img"])
     print(f"matpreview 64x64 @96spp rel-RMSE vs reference: {err:.4f}")
     assert err < 0.13, f"glass bias gate: rel-RMSE {err:.4f} >= 0.13"
+
+
+@pytest.mark.skipif(jax.default_backend() != 'tpu',
+                    reason="high-spp bias renders (TPU-only)")
+@pytest.mark.parametrize("name,scene_path,spp", [
+    ("hetvol", "/root/reference/scenes/volpath_test/hetvol.xml", 512),
+    ("sponza", "/root/reference/scenes/sponza/sponza.xml", 512),
+])
+def test_hispp_bias_gate(name, scene_path, spp):
+    """Self-calibrating bias gates for the two hardest scenes (VERDICT
+    r4 missing #3): their low-spp golden gates are noise-calibrated
+    (thresholds 0.10-0.14), so a smooth few-percent estimator bias
+    would pass them. Here the reference golden is rendered at 4096 spp
+    (tools/ref_renders.py stage `hispp`), we render the same square
+    crop twice with independent seeds, and require
+
+        rel_rmse(ours, ref) < max(1.5 * rel_rmse(ours_a, ours_b), 0.01)
+
+    i.e. the ours-vs-reference discrepancy must be explained by our own
+    noise floor (+50% for the reference's residual noise) or be below
+    the 1%-class the north-star metric uses. A depth- or
+    tracking-compounding bias >~ the per-render noise fails."""
+    path = os.path.join(os.path.dirname(__file__), "golden_ref",
+                        f"{name}_hispp.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"no {name} high-spp golden "
+                    "(run tools/ref_renders.py hispp)")
+    g = np.load(path)
+    ref = g["img"]
+    res = int(g["res"])
+    b = parse_scene_to_builder(scene_path)
+    b.camera.width = b.camera.height = res
+    scene = compile_scene(b)
+    opts = dataclasses.replace(b.options, samples_per_pixel=spp)
+    img_a = np.asarray(render(scene, opts, seed=7))
+    img_b = np.asarray(render(scene, opts, seed=8))
+    assert np.isfinite(img_a).all() and np.isfinite(img_b).all()
+    from test_golden import rel_rmse as rel_rmse_d8
+    err_self = rel_rmse_d8(img_a, img_b)
+    err_ref = rel_rmse_d8(img_a, ref)
+    print(f"{name} {res}x{res} @{spp}spp: ours-vs-ref {err_ref:.4f}, "
+          f"ours-vs-ours {err_self:.4f}")
+    assert err_ref < max(1.5 * err_self, 0.01), \
+        f"bias gate: {err_ref:.4f} vs noise floor {err_self:.4f}"

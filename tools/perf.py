@@ -69,6 +69,8 @@ def acquire_device_lock(note="perf"):
     TPU for timing (tools/perf.py, bench.py). Returns the open fd, held
     for process lifetime."""
     import fcntl
+    if os.environ.get("LAJOLLA_NO_LOCK"):   # CPU smoke runs don't
+        return None                          # contend for the chip
     fd = os.open(LOCK_PATH, os.O_CREAT | os.O_RDWR, 0o666)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
@@ -92,6 +94,11 @@ def _git_rev():
 
 def ledger_append(row):
     row = dict(row)
+    try:
+        import jax
+        row.setdefault("backend", jax.default_backend())
+    except Exception:
+        pass
     row.setdefault("rev", _git_rev())
     row.setdefault("ts", time.strftime("%Y-%m-%dT%H:%M:%S"))
     os.makedirs(os.path.dirname(LEDGER), exist_ok=True)
@@ -111,9 +118,17 @@ def main():
     try:
         fd = acquire_device_lock(lock_note)  # noqa: F841 (held for life)
         import jax
-        jax.config.update('jax_compilation_cache_dir', '/root/work/jaxcache')
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+        # LAJOLLA_CACHE_DIR="" disables the persistent compile cache —
+        # used to re-roll a compile when a cached executable is
+        # suspected of being a bad (slow) Mosaic/XLA compile
+        cache = os.environ.get("LAJOLLA_CACHE_DIR", "/root/work/jaxcache")
+        if cache:
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              5.0)
 
+        if not cache:
+            row["nocache"] = True
         knobs, lanes = {}, None
         for kv in knob_args:
             k, v = kv.split("=")

@@ -81,6 +81,11 @@ BASELINES = [
     ("sponza", f"{REF}/sponza/sponza.xml", 768, 575, 4),
     ("vol_cbox", f"{REF}/volpath_test/vol_cbox.xml", 512, 512, 4),
     ("hetvol", f"{REF}/volpath_test/hetvol.xml", 768, 576, 2),
+    # BASELINE.json config #3 is "disney_bsdf_test + matpreview"; the
+    # Disney half was golden-gated but never TIMED (VERDICT r4
+    # missing #2) — the combined-array scene at its native res
+    ("disney_bsdf", f"{REF}/disney_bsdf_test/disney_bsdf.xml",
+     683, 512, 8),
 ]
 
 
@@ -177,8 +182,35 @@ def stage_baselines():
         log(f"baselines/{name}: {s:.1f}s = {rate:.4f} Mpaths/s 1-core")
 
 
+# (name, scene, res, spp): high-spp goldens for the BIAS gates — the
+# two hardest scenes relied only on noise-calibrated low-spp gates,
+# which a smooth few-percent estimator bias would pass (VERDICT r4
+# missing #3). Renders once, pinned by tests/test_northstar.py.
+HISPP = [
+    ("hetvol", f"{REF}/volpath_test/hetvol.xml", 48, 4096),
+    ("sponza", f"{REF}/sponza/sponza.xml", 64, 4096),
+]
+
+
+def stage_hispp():
+    os.makedirs(GOLD, exist_ok=True)
+    for name, scene, res, spp in HISPP:
+        out = os.path.join(GOLD, f"{name}_hispp.npz")
+        if os.path.exists(out):
+            log(f"hispp/{name}: exists, skip")
+            continue
+        log(f"hispp/{name}: {res}x{res} @{spp}spp ...")
+        xml = patch_scene(scene, os.path.join(WORK, f"hs_{name}.xml"),
+                          spp=spp, width=res, height=res)
+        img, s = run_ref(xml, os.path.join(WORK, f"hs_{name}.pfm"))
+        np.savez_compressed(out, img=img, res=res, spp=spp,
+                            render_seconds=s)
+        log(f"hispp/{name}: mean={img.mean():.4f} took {s:.1f}s")
+
+
 STAGES = {"goldens": stage_goldens, "aux": stage_aux,
-          "northstar": stage_northstar, "baselines": stage_baselines}
+          "northstar": stage_northstar, "baselines": stage_baselines,
+          "hispp": stage_hispp}
 
 if __name__ == "__main__":
     os.makedirs(WORK, exist_ok=True)
