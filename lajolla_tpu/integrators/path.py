@@ -647,10 +647,12 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
     n = scene.meta.width * scene.meta.height
     if scene.meta.use_binned:
         # heavy intersector → short launches: small lane pool, 1
-        # spp/launch (32768 lanes measured ~12% over 65536 on
-        # matpreview; 4-spp blocks measured ~10% SLOWER per path —
-        # the deeper queue holds a worse bounce mix for the cull lists)
-        spp_block, lanes = 1, min(n, 32768)
+        # spp/launch. Lane-pool A/B on matpreview (docs/PERF_LEDGER
+        # r4+r5): 16384 → 0.112/0.104 Mpaths/s vs 32768 → 0.092 and
+        # 65536 → 0.094 — the smaller pool's better cull-list locality
+        # beats the occupancy amortization. 4-spp blocks measured ~10%
+        # SLOWER per path (deeper queue = worse bounce mix per list)
+        spp_block, lanes = 1, min(n, 16384)
     elif _use_kernel(scene):
         # fused-kernel scenes render ~40+ Mpaths/s: large blocks amortize
         # the per-launch dispatch + film readback (~0.15 s through the

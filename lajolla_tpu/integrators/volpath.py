@@ -1330,6 +1330,17 @@ def _use_vol_kernel(scene):
             n % volpath_kernel.BLOCK == 0)
 
 
+GRIDK_SPP_BLOCK = 4    # fused grid kernel: spp per persistent launch
+
+
+def _use_grid_kernel(scene):
+    from lajolla_tpu.integrators import volpath_grid_kernel
+    n = scene.meta.width * scene.meta.height
+    return (jax.default_backend() == 'tpu' and
+            volpath_grid_kernel.supports(scene.meta) and
+            n % volpath_grid_kernel.BLOCK == 0)
+
+
 def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     import numpy as np
     from lajolla_tpu.utils.checkpoint import load_film, save_film
@@ -1346,6 +1357,9 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
     use_kernel = (not simple) and _use_vol_kernel(scene)
     if use_kernel:
         spp_block = VOLK_SPP_BLOCK
+    use_gridk = (not simple) and _use_grid_kernel(scene)
+    if use_gridk:
+        spp_block = GRIDK_SPP_BLOCK
 
     img, spp_done = None, 0
     if checkpoint:
@@ -1365,6 +1379,21 @@ def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):
             block = _render_volpath_simple_block(scene, options, seed, s0,
                                                  ns, 0, n)
             img += np.asarray(block)
+        elif use_gridk:
+            from lajolla_tpu.integrators.volpath_grid_kernel import \
+                render_fused_grid
+            try:
+                img += np.asarray(render_fused_grid(
+                    scene, options, seed, s0, ns)).reshape(n, 3)
+            except Exception as e:       # pragma: no cover - TPU only
+                # Mosaic compile failure must not kill an unattended
+                # render: fall back to the general engine permanently
+                import sys
+                print(f"volpath_grid_kernel failed ({e}); falling back "
+                      "to the general engine", file=sys.stderr)
+                use_gridk = False
+                spp_block = 1
+                continue
         elif use_kernel:
             from lajolla_tpu.integrators.volpath_kernel import \
                 render_fused_vol

@@ -644,6 +644,34 @@ def compile_scene(b):
     svox_data = (np.concatenate(schunks) if schunks
                  else np.zeros((1, 8))).astype(np.float32)
 
+    # ---- fused grid-media kernel feasibility + its density table ------
+    # (integrators/volpath_grid_kernel.py): ONE heterogeneous medium
+    # whose density grid is monochrome and albedo constant — the kernel
+    # then tracks a scalar sigma_t field, resolves trilinear lookups by
+    # MXU matmul-gather over a (X, Z*Y) table, and one-hot-gathers the
+    # supervoxel majorants (needs svox rows within the one-hot bound).
+    fp_grid = np.zeros((1, 1), np.float32)
+    grid_kernel_ok = False
+    if nmed == 1 and med_type[0] == T.MED_HETEROGENEOUS:
+        dvi = int(med_density_vol[0])
+        avi = int(med_albedo_vol[0])
+        dv_ = b.volumes[dvi] if 0 <= dvi < len(b.volumes) else None
+        av_ = b.volumes[avi] if 0 <= avi < len(b.volumes) else None
+        if (dv_ is not None and dv_.kind == T.VOL_GRID and
+                av_ is not None and av_.kind != T.VOL_GRID):
+            g = dv_.grid                                   # (Z,Y,X,3)
+            z_, y_, x_ = g.shape[:3]
+            mono = bool((g[..., 0] == g[..., 1]).all() and
+                        (g[..., 0] == g[..., 2]).all())
+            srows = int(np.prod(svox_res[dvi]))
+            if mono and srows <= 512 and z_ * y_ * x_ <= (1 << 20):
+                # (Z*Y, X): the kernel's x-interpolation contraction is
+                # then dot(grid, Wx) with rays in the lane dim — no
+                # transposes anywhere (see volpath_grid_kernel._density)
+                fp_grid = np.ascontiguousarray(
+                    (g[..., 0] * dv_.scale).reshape(z_ * y_, x_))
+                grid_kernel_ok = True
+
     # layout documented in media.py (MT_*/VL_* constants)
     med_tab = np.zeros((nmed, 46), np.float32)
     med_tab[:, 0] = med_type
@@ -762,6 +790,12 @@ def compile_scene(b):
         fp_tri[29:32] = t_ks.T
         fp_tri[32] = t_rough
         fp_tri[33] = t_eta
+        # index-matching interfaces + medium transitions for the fused
+        # grid-media kernel (vol_path_tracing.h:149-163, :716-726):
+        # mat_ok == 0 marks a pass-through shape (material_id == -1)
+        fp_tri[34] = (shape_material[tri_shape] >= 0).astype(np.float32)
+        fp_tri[35] = shape_int_med[tri_shape]
+        fp_tri[36] = shape_ext_med[tri_shape]
     if num_tris > 0 or spheres:
         fp_light[0] = light_cdf
         fp_light[1] = light_pmf
@@ -791,6 +825,9 @@ def compile_scene(b):
         s_is_l = (s_light >= 0).astype(np.float32)
         fp_sph[:, 14] = light_pmf[sl_c] * s_is_l
         fp_sph[:, 15:18] = light_intensity[sl_c] * s_is_l[:, None]
+        fp_sph[:, 18] = (shape_material[sph_shape] >= 0).astype(np.float32)
+        fp_sph[:, 19] = shape_int_med[sph_shape]
+        fp_sph[:, 20] = shape_ext_med[sph_shape]
 
     # ------------------------------------------ occluder subset (fast path)
     # A triangle on the scene's convex envelope — ALL geometry on one side
@@ -909,6 +946,7 @@ def compile_scene(b):
             (T.MED_HETEROGENEOUS in med_present and
              svox_data[:, 4:7].max() > 1e-4 * max(svox_data[:, :3].max(),
                                                   1e-20))),
+        grid_kernel_ok=grid_kernel_ok,
         uniform_medium=bool(
             len(b.media) == 1 and med_present == (T.MED_HOMOGENEOUS,) and
             cam.medium_id == 0 and len(b.shapes) > 0 and
@@ -971,7 +1009,8 @@ def compile_scene(b):
         vol_pmin=_f32(vol_pmin), vol_pmax=_f32(vol_pmax),
         vol_maxval=_f32(vol_maxval), volume_data=_f32(volume_data),
         svox_offset=_i32(svox_offset), svox_res=_i32(svox_res),
-        svox_data=_f32(svox_data), med_tab=_f32(med_tab),
+        svox_data=_f32(svox_data), fp_grid=_f32(fp_grid),
+        med_tab=_f32(med_tab),
         tri_shade=_f32(tri_shade), shape_tab=_f32(shape_tab),
         light_tab=_f32(light_tab), mat_tab=_f32(mat_tab),
         tex_tab=_f32(tex_tab),

@@ -132,6 +132,13 @@ class SceneMeta:
     # it in (the vol_cbox class; vol_path_tracing.h:503-869 with its
     # update_medium calls statically the identity)
     uniform_medium: bool = False
+    # ONE heterogeneous grid medium with a monochrome density grid and a
+    # constant albedo, supervoxel table small enough for in-kernel
+    # one-hot MXU lookups: the fused grid-media megakernel
+    # (integrators/volpath_grid_kernel.py) can run the scene (the
+    # hetvol class; vol_path_tracing.h:554-629 free flight with the
+    # density field resolved by MXU matmul-gather)
+    grid_kernel_ok: bool = False
 
 
 @dataclass(frozen=True)
@@ -274,6 +281,9 @@ class Scene:
     svox_offset: Any     # (NV,) i32 into svox_data
     svox_res: Any        # (NV,3) i32 supervoxel majorant grid (gx,gy,gz)
     svox_data: Any       # (TOTS,8) f32 per-supervoxel majorant rgb | empty-skip dist | control (minorant) rgb | pad
+    fp_grid: Any         # (Z*Y, X) f32 mono density grid (x scale) for the
+                         # fused grid kernel's matmul-gather ((1,1) when
+                         # meta.grid_kernel_ok is False)
     med_tab: Any         # (NM,16) f32 wide medium row (see compile.py)
 
     # --- merged wide-row tables (see scene/soa.py) ----------------------------

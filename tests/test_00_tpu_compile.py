@@ -109,3 +109,11 @@ def test_fused_vol_kernel_compiles():
         os.path.join(REF, 'volpath_test/vol_cbox.xml'), 128, 64)
     img = np.asarray(VK.render_fused_vol(scene, options, 0, 0, 1))
     assert np.isfinite(img).all()
+
+
+def test_fused_grid_kernel_compiles():
+    from lajolla_tpu.integrators import volpath_grid_kernel as GK
+    scene, options = _parse_small(
+        os.path.join(REF, 'volpath_test/hetvol.xml'), 128, 64)
+    img = np.asarray(GK.render_fused_grid(scene, options, 0, 0, 1))
+    assert np.isfinite(img).all()
