@@ -1033,6 +1033,11 @@ def render_fused_grid(scene, options, seed, s0, nspp):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
         interpret=INTERPRET,
+        # the density matmul-gather keeps a (Z*Y, DC) product + its
+        # weight temporaries live per chunk — over the 16 MB default
+        # scoped-vmem budget; v5e VMEM is 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(su_a, s0_a, cam, _woop_mat(scene.fp_woop), scene.fp_tri,
       scene.fp_tri[:, scene.cast_src], scene.fp_tri[:, scene.cast_alt],
       scene.cast_quad[:, None], scene.fp_light,

@@ -54,6 +54,7 @@ MODS = {"pk": "lajolla_tpu.integrators.path_kernel",
         "p": "lajolla_tpu.integrators.path",
         "vp": "lajolla_tpu.integrators.volpath",
         "vk": "lajolla_tpu.integrators.volpath_kernel",
+        "gk": "lajolla_tpu.integrators.volpath_grid_kernel",
         "sw": "lajolla_tpu.ops.intersect_sweep",
         "ga": "lajolla_tpu.ops.gather",
         "ip": "lajolla_tpu.ops.intersect_pallas",
