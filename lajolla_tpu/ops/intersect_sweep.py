@@ -55,24 +55,19 @@ BLOCK_R = 1024           # rays per streaming block (lane dim)
 LANE_R = 512             # rays per list-driven block (SUBLANE dim)
 GROUP = 8                # clusters per supercluster
 RESIDENT_BYTES = 8 << 20  # whole Woop table VMEM-resident below this
-LIST_B = 512             # rays per block for the resident kernel.
-                         # 128 minimized LISTED clusters per ray (the
-                         # pre-break metric: block unions grow with B),
-                         # but with the front-to-back break + the
-                         # supercluster overflow fallback the EXECUTED
-                         # work favors big blocks: the union saturates
-                         # (sublinear in B) while per-entry bookkeeping
-                         # amortizes over 4x the rays. Break-faithful
-                         # simulation on real bounce + NEE rays
-                         # (/root/work/blocksize_grid.py, r4):
-                         # executed clusters per 128 rays 222 -> 114
-                         # (matpreview closest), 210 -> 97 (any-hit),
-                         # 99 -> 82 (sponza), with entries/128-rays
-                         # down 4x. Gated by the per-128-ray proxy pins
-                         # in tests/test_perf_proxies.py.
-CPI = 2                  # clusters per resident-sweep loop iteration
+LIST_B = 256             # rays per block for the resident kernel.
+                         # TPU-timed r5 (docs/PERF_LEDGER, 32768-ray
+                         # bounce population): matpreview closest went
+                         # 10.7 ms (512) -> 7.8 (256 alone) -> 6.4 with
+                         # CPI=4 — the r4 CPU proxy that favored 512
+                         # (executed-cluster counts) missed the real
+                         # per-block execution cost. Smaller blocks cut
+                         # union waste faster than bookkeeping grows.
+CPI = 4                  # clusters per resident-sweep loop iteration
                          # (statically unrolled; use 1, 2, 4 or 8 —
-                         # the break-cap refresh cadence assumes CPI | 8)
+                         # the break-cap refresh cadence assumes CPI | 8).
+                         # TPU-timed r5: 2 -> 4 is -22% closest-bounce
+                         # ms on matpreview; 8 is flat vs 4.
 LIST_LEN = 192           # per-block worklist capacity (overflow ->
                          # full-K sweep for that block; keeps the SMEM
                          # prefetch footprint at R*LIST_LEN words)

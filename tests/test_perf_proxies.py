@@ -137,9 +137,14 @@ def test_sweep_cull_rate_matpreview(matpreview):
     listed cluster = one dense 128-triangle sweep over the block).
     Measured r4 at 48x36 (coarser than production, so absolute values
     are high; the pin is a regression gate, not a target): LIST_B=128
-    gave primary 153.9 / bounce 365.0; the r4 move to LIST_B=512
-    (union saturation + supercluster FTB fallback) gives primary 80.4,
-    bounce 159.0."""
+    gave primary 153.9 / bounce 365.0; LIST_B=512 gave primary 80.4 /
+    bounce 159.0; the r5 TPU-timed default LIST_B=256 measures primary
+    116.6 / bounce 208.4. NOTE the proxy INVERTED the real ordering:
+    512 minimizes this count yet times 27-40% SLOWER than 256 on TPU
+    (docs/PERF_LEDGER r5 sweep micro-bench) — per-cluster execution
+    cost is not proportional to block ray count as the normalization
+    assumes. The pin therefore gates regressions at the CURRENT
+    default's level; TPU ms decide defaults."""
     import lajolla_tpu.integrators.path as P
     from lajolla_tpu.ops.intersect import brute_force_triangles
     scene, opts = matpreview
@@ -147,7 +152,7 @@ def test_sweep_cull_rate_matpreview(matpreview):
     item = jnp.arange(n, dtype=jnp.int32)
     _pix, o, d = P._primary_hash(scene, opts, item, jnp.uint32(0))
     mp, op_ = _cull_stats(scene, o, d)
-    assert mp <= 80.44 * 1.10, (mp, op_)
+    assert mp <= 116.65 * 1.10, (mp, op_)
     # bounce rays: hit points + deterministic random directions
     t, prim, _u, _v = jax.vmap(
         lambda o, d: brute_force_triangles(scene, o, d, 1e-3, jnp.inf))(o, d)
@@ -158,7 +163,7 @@ def test_sweep_cull_rate_matpreview(matpreview):
     hitm = np.asarray(prim) >= 0
     mb, ob = _cull_stats(scene, jnp.asarray(hp[hitm], jnp.float32),
                          jnp.asarray(dd[hitm], jnp.float32))
-    assert mb <= 159.0 * 1.10, (mb, ob)
+    assert mb <= 208.4 * 1.10, (mb, ob)
 
 
 def test_hetvol_null_collision_rounds():
