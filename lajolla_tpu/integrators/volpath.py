@@ -1330,7 +1330,13 @@ def _use_vol_kernel(scene):
             n % volpath_kernel.BLOCK == 0)
 
 
-GRIDK_SPP_BLOCK = 4    # fused grid kernel: spp per persistent launch
+GRIDK_SPP_BLOCK = 16   # fused grid kernel: spp per persistent launch.
+                       # Launch cost is ~15 s fixed (per-instance
+                       # straggler tails: a pallas program instance
+                       # runs while ANY of its lanes still works) +
+                       # ~0.5 s/spp marginal — r5 TPU A/B: 8 spp/launch
+                       # 0.183, 16 spp 0.301 Mpaths/s; 16 spp ~24 s
+                       # stays under the ~60 s worker-crash bound
 
 
 def _use_grid_kernel(scene):

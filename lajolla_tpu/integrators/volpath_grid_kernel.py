@@ -71,6 +71,9 @@ BLOCK = 2048        # lanes per program instance (state + density
 DC = 128            # lanes per density-matmul chunk (A buffer is
                     # (Z*Y, DC) f32 — 3.3 MB for hetvol)
 K_STEPS = 2         # tracking micro-steps per kernel iteration
+DENSITY_SKIP = False  # skip a density chunk's matmul when none of its
+                      # 128 lanes consumes the value (lax.cond) —
+                      # default off until TPU-timed (Mosaic rule)
 GRID_BF16 = True    # bf16 matmul-gather operands (see module docstring)
 INF = float('inf')
 PI = 3.141592653589793
@@ -196,11 +199,15 @@ def _svox_segment(o, d, t_cur, t_hit, svox2, *, pmin, pmax, gres, R):
     return maj, jnp.minimum(t_end, t_hit)
 
 
-def _density(p, grid, zidx, yidx, *, pmin, pmax, res, B):
+def _density(p, grid, zidx, yidx, act=None, *, pmin, pmax, res, B):
     """Trilinear mono density at p (3,B) -> (1,B) via MXU matmul-gather.
     grid: (Z*Y, X); zidx/yidx: (Z*Y, 1) i32 row coordinates (host
     constants — Mosaic-safe replacement for iota//Y). Zero outside the
-    box (volume.h:45-52)."""
+    box (volume.h:45-52). act (1,B) bool: lanes whose value is consumed
+    this micro-step — with DENSITY_SKIP, a chunk with no active lane
+    skips its matmul via lax.cond (the per-instance straggler tail runs
+    the full iteration body for a handful of live lanes; this makes
+    idle-chunk iterations cheap)."""
     X, Y, Z = res
     fr = []
     i0 = []
@@ -225,6 +232,22 @@ def _density(p, grid, zidx, yidx, *, pmin, pmax, res, B):
     iox = jax.lax.broadcasted_iota(jnp.int32, (X, DC), 0)
     for c in range(B // DC):
         sl = slice(c * DC, (c + 1) * DC)
+
+        def _chunk(sl=sl):
+            return _density_chunk(i0, i1, fr, gcast, zidx, yidx, iox,
+                                  sl, gdt, prec, X=X, ZY=ZY)
+        if DENSITY_SKIP and act is not None:
+            chunks.append(jax.lax.cond(jnp.any(act[:, sl]), _chunk,
+                                       lambda: jnp.zeros((1, DC),
+                                                         jnp.float32)))
+        else:
+            chunks.append(_chunk())
+    val = jnp.concatenate(chunks, axis=1)
+    return jnp.where(inside, jnp.maximum(val, 0.0), 0.0)
+
+
+def _density_chunk(i0, i1, fr, gcast, zidx, yidx, iox, sl, gdt, prec,
+                   *, X, ZY):
         x0 = jnp.broadcast_to(i0[0][:, sl], (X, DC))
         x1 = jnp.broadcast_to(i1[0][:, sl], (X, DC))
         dx = jnp.broadcast_to(fr[0][:, sl], (X, DC))
@@ -246,9 +269,7 @@ def _density(p, grid, zidx, yidx, *, pmin, pmax, res, B):
                jnp.where(zb == z1, dz, 0.0)) * \
               (jnp.where(yb == y0, 1.0 - dy, 0.0) +
                jnp.where(yb == y1, dy, 0.0))
-        chunks.append(jnp.sum(A * Wzy, axis=0, keepdims=True))
-    val = jnp.concatenate(chunks, axis=1)
-    return jnp.where(inside, jnp.maximum(val, 0.0), 0.0)
+        return jnp.sum(A * Wzy, axis=0, keepdims=True)
 
 
 def _ff_micro(go, wsc, forg, fdir, f_thit, hs, st, grid, zidx, yidx,
@@ -274,8 +295,8 @@ def _ff_micro(go, wsc, forg, fdir, f_thit, hs, st, grid, zidx, yidx,
     p = jnp.concatenate([forg[0:1] + fdir[0:1] * t_next,
                          forg[1:2] + fdir[1:2] * t_next,
                          forg[2:3] + fdir[2:3] * t_next], axis=0)
-    rho = _density(p, grid, zidx, yidx, pmin=pmin, pmax=pmax, res=res,
-                   B=B)
+    rho = _density(p, grid, zidx, yidx, act=live & in_flight,
+                   pmin=pmin, pmax=pmax, res=res, B=B)
     maxden = jnp.maximum(maj, 1e-20)
     sigma_n = maj * (1.0 - rho / maxden)
     real_prob = rho / maxden
