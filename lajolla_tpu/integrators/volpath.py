@@ -1341,10 +1341,8 @@ GRIDK_SPP_BLOCK = 16   # fused grid kernel: spp per persistent launch.
 
 def _use_grid_kernel(scene):
     from lajolla_tpu.integrators import volpath_grid_kernel
-    n = scene.meta.width * scene.meta.height
     return (jax.default_backend() == 'tpu' and
-            volpath_grid_kernel.supports(scene.meta) and
-            n % volpath_grid_kernel.BLOCK == 0)
+            volpath_grid_kernel.supports(scene.meta))
 
 
 def render_volpath(scene, options, seed=0, checkpoint=None, progress=False):

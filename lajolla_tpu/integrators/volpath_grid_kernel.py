@@ -882,8 +882,8 @@ def _kernel(su_ref, s0_ref, cam_ref,
             woop_ref, tri_ref, triA_ref, triB_ref, qf_ref,
             light_ref, stair_ref, sph_ref, svox_ref,
             grid_ref, zidx_ref, yidx_ref,
-            film_o, *, n, w, h, nspp, filter_type, filter_param,
-            **statics):
+            film_o, *, n, n_real, w, h, nspp, filter_type,
+            filter_param, **statics):
     su = su_ref[0]
     s0 = s0_ref[0]
     pid = pl.program_id(0)
@@ -912,6 +912,11 @@ def _kernel(su_ref, s0_ref, cam_ref,
     item0 = lane + s0 * n
     end = (s0 + nspp) * n
     org0, d0 = prim(item0)
+    # film-padding lanes (pixel >= n_real when n isn't a BLOCK
+    # multiple) start done and stay inert; their film rows are dropped
+    # by the wrapper. Work-item strides use the PADDED n, so RNG cells
+    # differ from the engine's only when padding is active.
+    done0 = (lane >= n_real).astype(jnp.int32)
     z1 = jnp.zeros((1, BLOCK), jnp.float32)
     z3 = jnp.zeros((3, BLOCK), jnp.float32)
     zi = jnp.zeros((1, BLOCK), jnp.int32)
@@ -934,7 +939,7 @@ def _kernel(su_ref, s0_ref, cam_ref,
                 zi, zi)
 
     st0 = fresh(item0, org0, d0)
-    carry0 = (item0, jnp.zeros((1, BLOCK), jnp.int32), st0, z3)
+    carry0 = (item0, done0, st0, z3)
 
     def cond(carry):
         return jnp.min(carry[1]) < 1
@@ -977,7 +982,8 @@ def _kernel(su_ref, s0_ref, cam_ref,
 def render_fused_grid(scene, options, seed, s0, nspp):
     """Render nspp samples/pixel (sample indices s0..s0+nspp) of the
     full film in ONE persistent kernel launch; returns the film SUM
-    (h, w, 3). Requires supports(scene.meta) and n % BLOCK == 0."""
+    (h, w, 3). Requires supports(scene.meta); the lane pool pads n up
+    to a BLOCK multiple (padding lanes start done)."""
     from lajolla_tpu.dtypes import intersection_eps, shadow_eps
     from lajolla_tpu.integrators.media import (MT_ALOOK, MT_DLOOK, MT_G,
                                                MT_MAXVAL, MT_SOFF,
@@ -986,7 +992,7 @@ def render_fused_grid(scene, options, seed, s0, nspp):
     from lajolla_tpu.integrators.volpath import MAX_BOUNCES_CAP
     w, h = scene.meta.width, scene.meta.height
     n = w * h
-    assert n % BLOCK == 0
+    n_q = -(-n // BLOCK) * BLOCK
     T = scene.fp_tri.shape[1]
     L = scene.fp_light.shape[1]
     S = scene.meta.num_spheres
@@ -1034,14 +1040,14 @@ def render_fused_grid(scene, options, seed, s0, nspp):
         max_cap=MAX_BOUNCES_CAP,
         cam_med_static=int(scene.meta.camera_medium_id))
     kern = functools.partial(
-        _kernel, n=n, w=w, h=h, nspp=nspp,
+        _kernel, n=n_q, n_real=n, w=w, h=h, nspp=nspp,
         filter_type=options.filter_type,
         filter_param=options.filter_param, **statics)
     full = lambda i: (0, 0)
     tab = lambda shape: pl.BlockSpec(shape, full, memory_space=pltpu.VMEM)
     film = pl.pallas_call(
         kern,
-        grid=(n // BLOCK,),
+        grid=(n_q // BLOCK,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1052,7 +1058,7 @@ def render_fused_grid(scene, options, seed, s0, nspp):
                   tab((ZY, res[0])), tab((ZY, 1)), tab((ZY, 1))],
         out_specs=pl.BlockSpec((3, BLOCK), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, n_q), jnp.float32),
         interpret=INTERPRET,
         # the density matmul-gather keeps a (Z*Y, DC) product + its
         # weight temporaries live per chunk — over the 16 MB default
@@ -1064,4 +1070,4 @@ def render_fused_grid(scene, options, seed, s0, nspp):
       scene.cast_quad[:, None], scene.fp_light,
       scene.tri_stair_cdf[None, :], scene.fp_sph, svox2,
       grid, zidx, yidx)
-    return film.T.reshape(h, w, 3)
+    return film[:, :n].T.reshape(h, w, 3)

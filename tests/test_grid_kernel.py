@@ -68,3 +68,25 @@ def test_grid_kernel_matches_event_machine():
     rel_b = np.abs(img_b - img_e) / (img_e + 1e-3)
     assert np.median(rel_b) < 1e-4
     assert abs(img_b.mean() - img_e.mean()) / img_e.mean() < 0.05
+
+
+def test_grid_kernel_padded_lane_pool():
+    """n not a BLOCK multiple: padding lanes start done, film rows are
+    dropped. Work-item strides use the padded n, so the RNG cells
+    differ from the engine's — agreement is statistical only."""
+    import lajolla_tpu.integrators.volpath_grid_kernel as GK
+    from lajolla_tpu.render import render
+    scene, options = _hetvol_small(48, 48)     # 2304 % 2048 != 0
+    spp = 2
+    old_i = GK.INTERPRET
+    GK.INTERPRET = True
+    try:
+        img_k = np.asarray(GK.render_fused_grid(scene, options, 0, 0,
+                                                spp)) / spp
+    finally:
+        GK.INTERPRET = old_i
+    opts = dataclasses.replace(options, samples_per_pixel=spp)
+    img_e = np.asarray(render(scene, opts, seed=0))
+    assert img_k.shape == (48, 48, 3)
+    assert np.isfinite(img_k).all()
+    assert abs(img_k.mean() - img_e.mean()) / img_e.mean() < 0.10
