@@ -73,7 +73,15 @@ DC = 128            # lanes per density-matmul chunk (A buffer is
 K_STEPS = 2         # tracking micro-steps per kernel iteration
 DENSITY_SKIP = False  # skip a density chunk's matmul when none of its
                       # 128 lanes consumes the value (lax.cond) —
-                      # default off until TPU-timed (Mosaic rule)
+                      # NEGATIVE result: the cond branches double-
+                      # allocate the chunk buffers past the vmem budget
+                      # (docs/PERF_LEDGER.md); keep off
+WZY_FACTOR = False    # factored (z,y) contraction: reduce over y with
+                      # a (Y,DC) weight, then over z — ~1 VPU op per
+                      # (ZY,DC) element instead of the ~10-op Wzy
+                      # construction. Needs a (ZY,DC)->(Z,Y,DC) major-
+                      # dim reshape + middle-axis reduce in Mosaic —
+                      # default off until TPU-timed
 GRID_BF16 = True    # bf16 matmul-gather operands (see module docstring)
 INF = float('inf')
 PI = 3.141592653589793
@@ -235,7 +243,7 @@ def _density(p, grid, zidx, yidx, act=None, *, pmin, pmax, res, B):
 
         def _chunk(sl=sl):
             return _density_chunk(i0, i1, fr, gcast, zidx, yidx, iox,
-                                  sl, gdt, prec, X=X, ZY=ZY)
+                                  sl, gdt, prec, X=X, ZY=ZY, Y_=Y)
         if DENSITY_SKIP and act is not None:
             chunks.append(jax.lax.cond(jnp.any(act[:, sl]), _chunk,
                                        lambda: jnp.zeros((1, DC),
@@ -247,7 +255,7 @@ def _density(p, grid, zidx, yidx, act=None, *, pmin, pmax, res, B):
 
 
 def _density_chunk(i0, i1, fr, gcast, zidx, yidx, iox, sl, gdt, prec,
-                   *, X, ZY):
+                   *, X, ZY, Y_):
         x0 = jnp.broadcast_to(i0[0][:, sl], (X, DC))
         x1 = jnp.broadcast_to(i1[0][:, sl], (X, DC))
         dx = jnp.broadcast_to(fr[0][:, sl], (X, DC))
@@ -257,6 +265,27 @@ def _density_chunk(i0, i1, fr, gcast, zidx, yidx, iox, sl, gdt, prec,
                                 (((1,), (0,)), ((), ())),
                                 precision=prec,
                                 preferred_element_type=jnp.float32)
+        if WZY_FACTOR:
+            Z = ZY // Y_
+            ioy = jax.lax.broadcasted_iota(jnp.int32, (Y_, DC), 0)
+            Wy = jnp.where(ioy == jnp.broadcast_to(i0[1][:, sl],
+                                                   (Y_, DC)),
+                           1.0 - jnp.broadcast_to(fr[1][:, sl],
+                                                  (Y_, DC)), 0.0) + \
+                jnp.where(ioy == jnp.broadcast_to(i1[1][:, sl],
+                                                  (Y_, DC)),
+                          jnp.broadcast_to(fr[1][:, sl], (Y_, DC)), 0.0)
+            ioz = jax.lax.broadcasted_iota(jnp.int32, (Z, DC), 0)
+            Wz = jnp.where(ioz == jnp.broadcast_to(i0[2][:, sl],
+                                                   (Z, DC)),
+                           1.0 - jnp.broadcast_to(fr[2][:, sl],
+                                                  (Z, DC)), 0.0) + \
+                jnp.where(ioz == jnp.broadcast_to(i1[2][:, sl],
+                                                  (Z, DC)),
+                          jnp.broadcast_to(fr[2][:, sl], (Z, DC)), 0.0)
+            A3 = A.reshape(Z, Y_, DC)
+            B1 = jnp.sum(A3 * Wy[None, :, :], axis=1)      # (Z, DC)
+            return jnp.sum(B1 * Wz, axis=0, keepdims=True)
         z0 = jnp.broadcast_to(i0[2][:, sl], (ZY, DC))
         z1 = jnp.broadcast_to(i1[2][:, sl], (ZY, DC))
         dz = jnp.broadcast_to(fr[2][:, sl], (ZY, DC))
