@@ -140,6 +140,17 @@ def _acquire_device_lock():
 
 def main():
     _lock = _acquire_device_lock()                    # noqa: F841
+    # persistent compile cache: the seven-scene bench carries ~25 min
+    # of fresh Mosaic/XLA compiles without it (cache survives in the
+    # scratch volume across processes; harmless if absent)
+    try:
+        import jax
+        jax.config.update('jax_compilation_cache_dir',
+                          '/root/work/jaxcache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                          5.0)
+    except Exception:
+        pass
     if not _backend_probe():
         print(json.dumps({
             "metric": "cbox_512x512_path_Mpaths_per_sec_per_chip",
