@@ -77,7 +77,7 @@ def test_grid_kernel_padded_lane_pool():
     import lajolla_tpu.integrators.volpath_grid_kernel as GK
     from lajolla_tpu.render import render
     scene, options = _hetvol_small(48, 48)     # 2304 % 2048 != 0
-    spp = 2
+    spp = 1
     old_i = GK.INTERPRET
     GK.INTERPRET = True
     try:
