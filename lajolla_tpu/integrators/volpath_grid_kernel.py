@@ -76,12 +76,12 @@ DENSITY_SKIP = False  # skip a density chunk's matmul when none of its
                       # NEGATIVE result: the cond branches double-
                       # allocate the chunk buffers past the vmem budget
                       # (docs/PERF_LEDGER.md); keep off
-WZY_FACTOR = False    # factored (z,y) contraction: reduce over y with
+WZY_FACTOR = True     # factored (z,y) contraction: reduce over y with
                       # a (Y,DC) weight, then over z — ~1 VPU op per
                       # (ZY,DC) element instead of the ~10-op Wzy
-                      # construction. Needs a (ZY,DC)->(Z,Y,DC) major-
-                      # dim reshape + middle-axis reduce in Mosaic —
-                      # default off until TPU-timed
+                      # construction (the dominant VPU cost). TPU-timed
+                      # r5: hetvol 0.301 -> 0.454 Mpaths/s (+50%);
+                      # interpret-equivalent to 5e-7
 GRID_BF16 = True    # bf16 matmul-gather operands (see module docstring)
 INF = float('inf')
 PI = 3.141592653589793
