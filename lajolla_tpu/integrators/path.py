@@ -648,11 +648,12 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
     if scene.meta.use_binned:
         # heavy intersector → short launches: small lane pool, 1
         # spp/launch. Lane-pool A/B on matpreview (docs/PERF_LEDGER
-        # r4+r5): 16384 → 0.112/0.104 Mpaths/s vs 32768 → 0.092 and
-        # 65536 → 0.094 — the smaller pool's better cull-list locality
-        # beats the occupancy amortization. 4-spp blocks measured ~10%
-        # SLOWER per path (deeper queue = worse bounce mix per list)
-        spp_block, lanes = 1, min(n, 16384)
+        # r4+r5, CPI=4/LIST_B=256 kernels): 8192 → 0.118 Mpaths/s vs
+        # 16384 → 0.094, 32768 → 0.092-0.103, 65536 → 0.094 — smaller
+        # pools keep winning (better cull-list locality beats occupancy
+        # amortization). 4-spp blocks measured ~10% SLOWER per path
+        # (deeper queue = worse bounce mix per list)
+        spp_block, lanes = 1, min(n, 8192)
     elif _use_kernel(scene):
         # fused-kernel scenes render ~40+ Mpaths/s: large blocks amortize
         # the per-launch dispatch + film readback (~0.15 s through the

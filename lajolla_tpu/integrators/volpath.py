@@ -1330,13 +1330,14 @@ def _use_vol_kernel(scene):
             n % volpath_kernel.BLOCK == 0)
 
 
-GRIDK_SPP_BLOCK = 16   # fused grid kernel: spp per persistent launch.
-                       # Launch cost is ~15 s fixed (per-instance
+GRIDK_SPP_BLOCK = 32   # fused grid kernel: spp per persistent launch.
+                       # Launch cost is ~8 s fixed (per-instance
                        # straggler tails: a pallas program instance
                        # runs while ANY of its lanes still works) +
-                       # ~0.5 s/spp marginal — r5 TPU A/B: 8 spp/launch
-                       # 0.183, 16 spp 0.301 Mpaths/s; 16 spp ~24 s
-                       # stays under the ~60 s worker-crash bound
+                       # ~0.6 s/spp marginal — r5 TPU A/B with the
+                       # factored density contraction: 16 spp/launch
+                       # 0.454, 32 spp 0.535 Mpaths/s at ~27 s/launch,
+                       # safely under the ~60 s worker-crash bound
 
 
 def _use_grid_kernel(scene):
