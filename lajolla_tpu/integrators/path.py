@@ -647,13 +647,15 @@ def render_path(scene, options, seed=0, checkpoint=None, progress=False):
     n = scene.meta.width * scene.meta.height
     if scene.meta.use_binned:
         # heavy intersector → short launches: small lane pool, 1
-        # spp/launch. Lane-pool A/B on matpreview (docs/PERF_LEDGER
-        # r4+r5, CPI=4/LIST_B=256 kernels): 8192 → 0.118 Mpaths/s vs
-        # 16384 → 0.094, 32768 → 0.092-0.103, 65536 → 0.094 — smaller
-        # pools keep winning (better cull-list locality beats occupancy
-        # amortization). 4-spp blocks measured ~10% SLOWER per path
-        # (deeper queue = worse bounce mix per list)
-        spp_block, lanes = 1, min(n, 8192)
+        # spp/launch. Lane-pool A/B (docs/PERF_LEDGER r4+r5, CPI=4/
+        # LIST_B=256 kernels): matpreview (60k tris) 8192 → 0.101-0.118
+        # vs 16384 → 0.094 and 32768+ → 0.092-0.104; sponza (260k tris)
+        # INVERTS — 16384 → 0.103 vs 8192 → 0.088-0.093 (bigger cluster
+        # sets amortize better over wider pools). 4-spp blocks measured
+        # ~10% SLOWER per path (deeper queue = worse bounce mix)
+        spp_block = 1
+        lanes = min(n, 8192 if scene.meta.num_triangles < (1 << 17)
+                    else 16384)
     elif _use_kernel(scene):
         # fused-kernel scenes render ~40+ Mpaths/s: large blocks amortize
         # the per-launch dispatch + film readback (~0.15 s through the
