@@ -167,6 +167,8 @@ def main():
         t0 = time.time()
         np.asarray(render_once(0))
         compile_s = time.time() - t0
+        np.asarray(render_once(99))   # ramp: first executions of a
+        # freshly-loaded program run ~3.7x slow (docs/PERF_LEDGER.md)
         ts = []
         for r in range(MAX_REPEATS):
             t0 = time.time()
